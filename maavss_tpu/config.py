@@ -1,0 +1,190 @@
+"""Typed run configuration.
+
+One dataclass replaces the reference's argparse registry (run_config.py:4-51)
+while preserving every public flag name and default. Entry scripts call
+`model_args()` exactly like the reference does; library code takes `RunConfig`
+directly. Derived quantities (hop, audio_sample_len, num_fft_frames) are
+computed once here instead of being injected into a mutable config at runtime
+(reference: train.py:23-28).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from typing import List, Optional, Sequence
+
+from maavss_tpu.utils.hop import calc_hop_size
+
+
+@dataclasses.dataclass
+class RunConfig:
+    # -- optimization (run_config.py:6-13)
+    batch_size: int = 4
+    learning_rate: float = 1e-5
+    loss_coeff: float = 0.001
+    epochs: int = 10
+    steps_per_epoch: int = 50
+    val_steps: int = 8
+    mode_freq: int = 1
+    objective_zeros: bool = False
+    data_path: str = "data/raw"
+
+    # -- clip geometry (run_config.py:16-21)
+    num_frames: int = 8
+    num_seq: int = 4
+    frame_hop: int = 2
+    framerate: int = 30
+    framesize: int = 256
+    p_size: int = 64
+
+    # -- visual options (run_config.py:23-25)
+    autocontrast: bool = False
+    attn_diff: bool = False
+    compress_audio: bool = False
+
+    # -- STFT frontend (run_config.py:27-33)
+    fft_len: int = 256
+    hops_per_frame: int = 8
+    samplerate: int = 16000
+    normalize_fft: bool = True
+    normalize_output_fft: bool = False
+    use_polar: bool = False
+    noise_scalar: float = 0.1
+
+    # -- model sizes (run_config.py:35-36)
+    fc_size: int = 4096
+    latent_chan: int = 64
+
+    # -- bookkeeping (run_config.py:38-48)
+    cb_freq: int = 100
+    max_clip_len: Optional[int] = None
+    split: float = 0.8
+    saved_model: Optional[str] = None
+    checkpoint: Optional[str] = None
+    cp_dir: str = "checkpoints/"
+    cp_load_opt: bool = False
+    c: bool = False  # auto-load latest checkpoint
+    no_save: bool = False
+    cp_freq: int = 0
+
+    # -- new (TPU framework additions; absent in the reference)
+    seed: int = 0
+    mesh_data: int = -1  # -1 => all devices on the data axis
+    mesh_model: int = 1
+    dtype: str = "float32"  # compute dtype for model math ("bfloat16" on TPU)
+    log_dir: str = "runs/"
+    wandb: bool = False  # reference logs unconditionally; here opt-in
+
+    # ---- derived AV-alignment quantities ----
+    @property
+    def hop(self) -> int:
+        return calc_hop_size(
+            self.num_frames, self.hops_per_frame, self.framerate, self.samplerate
+        )[0]
+
+    @property
+    def audio_sample_len(self) -> int:
+        return calc_hop_size(
+            self.num_frames, self.hops_per_frame, self.framerate, self.samplerate
+        )[1]
+
+    @property
+    def num_fft_frames(self) -> int:
+        return calc_hop_size(
+            self.num_frames, self.hops_per_frame, self.framerate, self.samplerate
+        )[2]
+
+    @property
+    def stft_bins(self) -> int:
+        """Freq bins after end-trim: fft_len//2 (trim) or fft_len//2+1 (no trim).
+
+        The reference always drops the last time frame and optionally the last
+        freq bin (av_dataset.py:171-174); this property reports the trimmed case
+        used by AV_Fusion_Model (train.py:66).
+        """
+        return self.fft_len // 2
+
+    def replace(self, **kw) -> "RunConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def _str2bool(v) -> bool:
+    # the reference uses `type=bool`, for which any non-empty string is True;
+    # we accept explicit true/false spellings as well, treating other
+    # non-empty strings as True for flag-level parity.
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("no", "false", "f", "0", ""):
+        return False
+    return True
+
+
+def build_parser(parser: Optional[argparse.ArgumentParser] = None) -> argparse.ArgumentParser:
+    """Argparse registry preserving every reference flag (run_config.py:4-51)."""
+    p = parser or argparse.ArgumentParser()
+    p.add_argument("-b", "--batch_size", type=int, default=4, metavar="N")
+    p.add_argument("-lr", "--learning_rate", type=float, default=1e-5)
+    p.add_argument("-lc", "--loss_coeff", type=float, default=0.001)
+    p.add_argument("-e", "--epochs", type=int, default=10, help="epochs")
+    p.add_argument("-s", "--steps_per_epoch", type=int, default=50,
+                   help="steps/epoch, validation at epoch end")
+    p.add_argument("-v", "--val_steps", type=int, default=8, help="validation steps/epoch")
+    p.add_argument("--mode_freq", type=int, default=1,
+                   help="frequency (epochs) to switch between training modes")
+    p.add_argument("--objective_zeros", type=_str2bool, default=False,
+                   help="train model with zeros for inactive modes")
+    p.add_argument("--data_path", type=str, default="data/raw", help="path to dataset")
+
+    p.add_argument("--num_frames", type=int, default=8,
+                   help="size of each training frame sequence")
+    p.add_argument("--num_seq", type=int, default=4,
+                   help="number of total sequences - total frames = num_frames + num_seq")
+    p.add_argument("--frame_hop", type=int, default=2,
+                   help="hop between each clip example in a video")
+    p.add_argument("--framerate", type=int, default=30, help="video fps")
+    p.add_argument("--framesize", type=int, default=256, help="scaled video frame dims")
+    p.add_argument("--p_size", type=int, default=64, help="downsampled phasegram size")
+
+    p.add_argument("--autocontrast", type=_str2bool, default=False)
+    p.add_argument("--attn_diff", type=_str2bool, default=False)
+    p.add_argument("--compress_audio", action="store_true")
+
+    p.add_argument("--fft_len", type=int, default=256, help="size of fft")
+    p.add_argument("-a", "--hops_per_frame", type=int, default=8)
+    p.add_argument("--samplerate", type=int, default=16000)
+    p.add_argument("--normalize_fft", type=_str2bool, default=True)
+    p.add_argument("--normalize_output_fft", type=_str2bool, default=False)
+    p.add_argument("--use_polar", type=_str2bool, default=False)
+    p.add_argument("--noise_scalar", type=float, default=0.1)
+
+    p.add_argument("--fc_size", type=int, default=4096)
+    p.add_argument("--latent_chan", type=int, default=64)
+
+    p.add_argument("--cb_freq", type=int, default=100)
+    p.add_argument("--max_clip_len", type=int, default=None)
+    p.add_argument("--split", type=float, default=0.8)
+    p.add_argument("--saved_model", type=str, default=None)
+    p.add_argument("--checkpoint", type=str, default=None)
+
+    p.add_argument("--cp_dir", type=str, default="checkpoints/")
+    p.add_argument("--cp_load_opt", action="store_true")
+    p.add_argument("-c", action="store_true", help="auto-loads the last saved checkpoint")
+    p.add_argument("--no_save", action="store_true")
+    p.add_argument("--cp_freq", type=int, default=0)
+
+    # TPU-framework additions
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mesh_data", type=int, default=-1)
+    p.add_argument("--mesh_model", type=int, default=1)
+    p.add_argument("--dtype", type=str, default="float32")
+    p.add_argument("--log_dir", type=str, default="runs/")
+    p.add_argument("--wandb", action="store_true")
+    return p
+
+
+def model_args(argv: Optional[Sequence[str]] = None) -> RunConfig:
+    """Parse CLI flags into a RunConfig (reference entry: run_config.py:4-51)."""
+    args = build_parser().parse_args(argv)
+    fields = {f.name for f in dataclasses.fields(RunConfig)}
+    return RunConfig(**{k: v for k, v in vars(args).items() if k in fields})

@@ -1,0 +1,204 @@
+"""STFT / iSTFT frontend, jit-compiled and batched.
+
+Capability parity with the reference's torchaudio frontend
+(av_dataset.py:157-201):
+
+- hamming window, `n_fft = fft_len`, `hop = (sr/fps)/hops_per_frame`,
+  center=True with reflect padding, onesided, complex output,
+- "window" normalization: spectrum divided by sqrt(sum(window^2))
+  (torchaudio.functional.spectrogram `normalized=True` semantics),
+- feature layout `[2, T, F]` (real/imag or mag/phase channels), with the last
+  time frame always dropped and the last freq bin optionally dropped
+  (`trim_stft_end`, av_dataset.py:171-174),
+- inverse re-pads the trimmed bin with zeros (av_dataset.py:183-184).
+
+Deviations from the reference (documented):
+- `istft` here is the *exact* inverse of `stft` (overlap-add with
+  window-envelope division). The reference pairs a window-normalized forward
+  with `torch.istft(normalized=True)` (1/sqrt(n_fft)), leaving a constant
+  gain error of sqrt(n_fft)/||w||_2 in its round trip; we do not reproduce
+  that. SI-SDR is scale-invariant so separation metrics are unaffected.
+- the reference's polar iSTFT path crashes (`mag(...)` called as a function,
+  av_dataset.py:190); ours implements it correctly.
+
+Everything is pure jnp: batched over arbitrary leading dims, differentiable,
+and fuses under jit. Framing is a strided gather; the FFT runs on the XLA TPU
+FFT; no per-item host code remains in the hot path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from maavss_tpu.ops.windows import hamming_window
+
+
+def num_stft_frames(num_samples: int, hop: int) -> int:
+    """Frame count for center=True framing (torch.stft parity)."""
+    return 1 + num_samples // hop
+
+
+def frame_signal(audio: jnp.ndarray, frame_len: int, hop: int, center: bool = True) -> jnp.ndarray:
+    """Slice `audio[..., samples]` into overlapping frames `[..., T, frame_len]`.
+
+    With center=True the signal is reflect-padded by frame_len//2 on both
+    sides (torch.stft default pad_mode='reflect').
+    """
+    if center:
+        pad = frame_len // 2
+        pad_width = [(0, 0)] * (audio.ndim - 1) + [(pad, pad)]
+        audio = jnp.pad(audio, pad_width, mode="reflect")
+        n_frames = 1 + (audio.shape[-1] - 2 * pad) // hop
+    else:
+        n_frames = 1 + (audio.shape[-1] - frame_len) // hop
+    idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(frame_len)[None, :]
+    return audio[..., idx]
+
+
+@partial(jax.jit, static_argnames=("fft_len", "hop", "normalized", "center"))
+def stft(
+    audio: jnp.ndarray,
+    fft_len: int,
+    hop: int,
+    window: Optional[jnp.ndarray] = None,
+    normalized: bool = True,
+    center: bool = True,
+) -> jnp.ndarray:
+    """Complex STFT `[..., T, F]` with F = fft_len//2 + 1 (time-major for TPU).
+
+    `normalized=True` divides by sqrt(sum(window^2)) — torchaudio
+    `spectrogram(normalized=True)` semantics used by av_dataset.py:160-168.
+    """
+    if window is None:
+        window = hamming_window(fft_len, dtype=audio.dtype)
+    frames = frame_signal(audio, fft_len, hop, center=center)
+    frames = frames * window
+    spec = jnp.fft.rfft(frames, n=fft_len, axis=-1)
+    if normalized:
+        spec = spec / jnp.sqrt(jnp.sum(window.astype(jnp.float32) ** 2))
+    return spec
+
+
+@partial(jax.jit, static_argnames=("fft_len", "hop", "normalized", "center", "length"))
+def istft(
+    spec: jnp.ndarray,
+    fft_len: int,
+    hop: int,
+    window: Optional[jnp.ndarray] = None,
+    normalized: bool = True,
+    center: bool = True,
+    length: Optional[int] = None,
+) -> jnp.ndarray:
+    """Exact inverse of `stft`: `[..., T, F]` complex -> `[..., samples]`.
+
+    Overlap-add with division by the summed squared-window envelope; eps-guarded
+    where the envelope vanishes. Default output length is T*hop (the full
+    aligned window), so a `[2, a*num_frames, F]` feature slice resynthesizes to
+    `audio_sample_len` samples.
+    """
+    if window is None:
+        window = hamming_window(fft_len, dtype=jnp.float32)
+    n_frames = spec.shape[-2]
+    if normalized:
+        spec = spec * jnp.sqrt(jnp.sum(window.astype(jnp.float32) ** 2))
+    frames = jnp.fft.irfft(spec, n=fft_len, axis=-1)
+    frames = frames * window
+
+    out_len = (n_frames - 1) * hop + fft_len
+    pos = jnp.arange(n_frames)[:, None] * hop + jnp.arange(fft_len)[None, :]  # [T, L]
+    flat_pos = pos.reshape(-1)
+
+    batch_shape = frames.shape[:-2]
+    flat_frames = frames.reshape(batch_shape + (-1,))
+    sig = jnp.zeros(batch_shape + (out_len,), dtype=frames.dtype)
+    sig = sig.at[..., flat_pos].add(flat_frames)
+
+    env = jnp.zeros((out_len,), dtype=jnp.float32)
+    env = env.at[flat_pos].add(jnp.broadcast_to((window ** 2).astype(jnp.float32)[None, :], pos.shape).reshape(-1))
+    sig = sig / jnp.maximum(env, 1e-11)
+
+    if center:
+        pad = fft_len // 2
+        sig = sig[..., pad : out_len - pad]
+    if length is None:
+        length = n_frames * hop
+    if sig.shape[-1] < length:
+        pad_width = [(0, 0)] * (sig.ndim - 1) + [(0, length - sig.shape[-1])]
+        sig = jnp.pad(sig, pad_width)
+    return sig[..., :length]
+
+
+@partial(jax.jit, static_argnames=("fft_len", "hop", "normalized", "trim_end", "polar"))
+def stft_features(
+    audio: jnp.ndarray,
+    fft_len: int,
+    hop: int,
+    normalized: bool = True,
+    trim_end: bool = True,
+    polar: bool = False,
+) -> jnp.ndarray:
+    """Audio `[..., samples]` -> features `[..., 2, T, F]`.
+
+    Matches AV_Dataset.stft + the permute at av_dataset.py:338: the last time
+    frame is always dropped; the last (Nyquist) freq bin is dropped when
+    `trim_end` (av_dataset.py:171-174); channels are (real, imag), or
+    (magnitude, phase) when `polar` (av_dataset.py:176-178).
+    """
+    spec = stft(audio, fft_len, hop, normalized=normalized)  # [..., T, F+1]
+    spec = spec[..., :-1, :]  # drop last time frame
+    if trim_end:
+        spec = spec[..., :, :-1]  # drop Nyquist bin
+    if polar:
+        c0, c1 = jnp.abs(spec), jnp.angle(spec)
+    else:
+        c0, c1 = jnp.real(spec), jnp.imag(spec)
+    return jnp.stack([c0, c1], axis=-3)  # [..., 2, T, F]
+
+
+@partial(jax.jit, static_argnames=("fft_len", "hop", "normalized", "trim_end", "polar", "length"))
+def istft_features(
+    feats: jnp.ndarray,
+    fft_len: int,
+    hop: int,
+    normalized: bool = True,
+    trim_end: bool = True,
+    polar: bool = False,
+    length: Optional[int] = None,
+) -> jnp.ndarray:
+    """Features `[..., 2, T, F]` -> audio `[..., samples]`.
+
+    Re-pads the trimmed Nyquist bin with zeros (av_dataset.py:183-184); polar
+    features are converted via mag*exp(i*phase) (fixing the reference's broken
+    polar path, av_dataset.py:190).
+    """
+    c0 = feats[..., 0, :, :]
+    c1 = feats[..., 1, :, :]
+    if polar:
+        spec = c0.astype(jnp.complex64) * jnp.exp(1j * c1.astype(jnp.complex64))
+    else:
+        spec = c0 + 1j * c1
+    if trim_end:
+        pad_width = [(0, 0)] * (spec.ndim - 1) + [(0, 1)]
+        spec = jnp.pad(spec, pad_width)
+    return istft(spec, fft_len, hop, normalized=normalized, length=length)
+
+
+def normalize_stft(feats: jnp.ndarray) -> jnp.ndarray:
+    """Global max-abs normalization of an STFT feature tensor.
+
+    Parity: `y_stft *= 1/torch.max(torch.abs(y_stft) + 1e-7)`
+    (av_dataset.py:339-340) — note the epsilon sits *inside* the max.
+    """
+    return feats * (1.0 / jnp.max(jnp.abs(feats) + 1e-7))
+
+
+def add_noise(key: jax.Array, x: jnp.ndarray, noise_std: float) -> jnp.ndarray:
+    """Denoising objective input: x + N(0, std^2) (av_dataset.py:217-220).
+
+    The reference mutates global torch RNG; here the PRNG key is explicit.
+    """
+    return x + jax.random.normal(key, x.shape, dtype=x.dtype) * noise_std
