@@ -1,0 +1,106 @@
+"""AVFusionModel — the main phasegram-fusion separation model.
+
+Capability parity with `AV_Fusion_Model` (avse_model.py:410-711): an STFT
+conv2d autoencoder and a phasegram conv2d autoencoder whose latents are
+concatenated time-major, fused by a bidirectional LSTM(256) and two FC layers
+into a 512-d latent, from which per-modality linear heads reconstruct the
+input-shaped STFT and phasegram.
+
+Differences from the reference (all deliberate, TPU-first):
+- layer stacks are planned closed-form (models/shape_plan.py) instead of
+  trial-forwarding dummy CUDA tensors in __init__,
+- FC input sizes are inferred by flax, so non-default geometries that crash
+  the reference (hard-coded nn.Linear(fc_size, ...)) simply work,
+- runs on any backend; no hard-coded device placement (the reference pins
+  submodules to "cuda" at construction, avse_model.py:446,464,502).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from maavss_tpu.models.layers import BiLSTM, ConvStack
+from maavss_tpu.models.shape_plan import (
+    plan_phasegram_decoder,
+    plan_phasegram_encoder,
+    plan_stft_decoder_fusion,
+    plan_stft_encoder_fusion,
+)
+
+
+class AVFusionModel(nn.Module):
+    stft_shape: Sequence[int]  # [B, 2, T_stft, F]
+    pgram_shape: Sequence[int]  # [B, 1, T_frames, p_size^2]
+    latent_channels: int = 64
+    fc_size: int = 4096
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        pg_enc, pg_hw = plan_phasegram_encoder(
+            self.pgram_shape, self.latent_channels, self.fc_size
+        )
+        pg_dec, _ = plan_phasegram_decoder(pg_hw, self.pgram_shape, self.latent_channels)
+        a_enc, a_hw = plan_stft_encoder_fusion(self.stft_shape, pg_hw, self.latent_channels)
+        a_dec, _ = plan_stft_decoder_fusion(a_hw, self.stft_shape, self.latent_channels)
+        self.latent_hw = pg_hw
+
+        self.phasegram_encoder = ConvStack(tuple(pg_enc), dtype=self.dtype)
+        self.phasegram_decoder = ConvStack(tuple(pg_dec), dtype=self.dtype)
+        self.stft_encoder = ConvStack(tuple(a_enc), dtype=self.dtype)
+        self.stft_decoder = ConvStack(tuple(a_dec), dtype=self.dtype)
+
+        self.lstm = BiLSTM(256, use_bias=False, dtype=self.dtype)
+        self.fc1 = nn.Dense(self.fc_size // 2, dtype=self.dtype)
+        self.fc2 = nn.Dense(512, dtype=self.dtype)
+        t_stft, f_stft = self.stft_shape[-2], self.stft_shape[-1]
+        self.a_fc1 = nn.Dense(2 * t_stft * f_stft, dtype=self.dtype)
+        self.v_fc1 = nn.Dense(self.pgram_shape[-2] * self.pgram_shape[-1], dtype=self.dtype)
+
+    def init_all(self, x_a: jnp.ndarray, x_v: jnp.ndarray):
+        """Touch every submodule so `init` creates all params (the fused
+        forward alone never reaches the decoders, mirroring the reference
+        where decoders exist but only the AE paths use them)."""
+        out = self(x_a, x_v)
+        _ = self.audio_ae_forward(x_a)
+        _ = self.visual_ae_forward(x_v)
+        return out
+
+    def av_fusion_forward(self, x_a_enc: jnp.ndarray, x_v_enc: jnp.ndarray) -> jnp.ndarray:
+        """Latents [B,C,t,s] -> fused [B,512] (avse_model.py:658-670)."""
+        x_v = jnp.transpose(x_v_enc, (0, 2, 1, 3))  # time-major [B,t,C,s]
+        x_a = jnp.transpose(x_a_enc, (0, 2, 1, 3))
+        cat = jnp.concatenate([x_v, x_a], axis=2)  # [B,t,2C,s]
+        cat = cat.reshape(cat.shape[0], cat.shape[1], -1)
+        av = self.lstm(cat)  # [B,t,512]
+        av = av.reshape(av.shape[0], -1)
+        av = nn.leaky_relu(self.fc1(av), negative_slope=0.3)
+        av = nn.leaky_relu(self.fc2(av), negative_slope=0.3)
+        return av
+
+    def audio_ae_forward(self, x_a: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """STFT autoencoder path (avse_model.py:676-678)."""
+        return self.stft_decoder(self.stft_encoder(x_a, train), train)
+
+    def visual_ae_forward(self, x_v: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """Phasegram autoencoder path (avse_model.py:672-674)."""
+        return self.phasegram_decoder(self.phasegram_encoder(x_v, train), train)
+
+    def __call__(
+        self, x_a: jnp.ndarray, x_v: jnp.ndarray, train: bool = False
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """(stft [B,2,T,F], pgram [B,1,Tf,p^2]) -> (ŷ_stft, ŷ_pgram, fused[B,512]).
+
+        Parity: avse_model.py:680-711 — heads are linear + LeakyReLU(0.3),
+        reshaped to the input shapes.
+        """
+        x_a_enc = self.stft_encoder(x_a, train)
+        x_v_enc = self.phasegram_encoder(x_v, train)
+        fused = self.av_fusion_forward(x_a_enc, x_v_enc)
+        x_a_out = nn.leaky_relu(self.a_fc1(fused), negative_slope=0.3)
+        x_v_out = nn.leaky_relu(self.v_fc1(fused), negative_slope=0.3)
+        x_a_out = x_a_out.reshape(x_a.shape)
+        x_v_out = x_v_out.reshape(x_v.shape)
+        return x_a_out, x_v_out, fused

@@ -1,0 +1,138 @@
+"""AVFusionFramesModel — the reference's "final" model.
+
+Capability parity with `AV_Fusion_Model_Frames` (avse_model_final.py:14-274):
+raw attention frames through a fixed 5-stage 3D-conv encoder; an STFT conv2d
+autoencoder over the *untrimmed* (F = fft_len//2 + 1) spectrogram; fusion by
+concatenating the two latents along their 3rd axis, scanning a bi-LSTM over
+the *channel* axis (the reference never permutes time forward here —
+avse_model_final.py:124-128 — we reproduce that dataflow exactly), two
+bias-free FC layers with tanh, and linear heads emitting only the middle
+frame: `hops_per_frame` STFT columns (tanh) and one attention frame (sigmoid).
+
+Deviation: the reference train script passes latent_chan=64 which makes its
+`torch.cat` crash (channel mismatch 64 vs 16); the class default 16 is the
+only working setting. Our latent concat is planned so both branches always
+meet at the same channel count, so any latent_channels works.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from maavss_tpu.models.layers import BiLSTM, ConvStack, TorchBatchNorm
+from maavss_tpu.models.shape_plan import (
+    frames_visual_encoder_out_hw,
+    plan_stft_decoder_frames,
+    plan_stft_encoder_frames,
+)
+
+
+class FramesVisualEncoder(nn.Module):
+    """Fixed 5-stage conv3d/BN/maxpool/LeakyReLU stack + spatial flatten
+    (avse_model_final.py:33-59). Input [B,1,T,H,W] -> [B,C,T,hw*hw]."""
+
+    latent_channels: int = 16
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        # NCDHW -> NDHWC
+        x = jnp.moveaxis(x, 1, -1)
+        stages = [
+            (16, (2, 2), 2),
+            (32, (2, 2), 2),
+            (64, (2, 2), 2),
+            (64, (2, 2), 3),
+            (self.latent_channels, (3, 3), 3),
+        ]
+        for out_ch, pad, pool in stages:
+            x = nn.Conv(
+                out_ch, kernel_size=(3, 5, 5), strides=(1, 1, 1),
+                padding=((1, 1), pad, pad), use_bias=False, dtype=self.dtype,
+            )(x)
+            x = TorchBatchNorm(dtype=self.dtype)(x, train)
+            x = nn.max_pool(x, window_shape=(1, pool, pool), strides=(1, pool, pool))
+            x = nn.leaky_relu(x, negative_slope=0.01)  # torch LeakyReLU default
+        x = jnp.moveaxis(x, -1, 1)  # -> NCDHW
+        b, c, t = x.shape[0], x.shape[1], x.shape[2]
+        return x.reshape(b, c, t, -1)
+
+
+class AVFusionFramesModel(nn.Module):
+    stft_shape: Sequence[int]  # [B, 2, T_stft, F] with F = fft_len//2 + 1
+    frame_shape: Sequence[int]  # [B, 1, T_frames, H, W]
+    hops_per_frame: int = 8
+    latent_channels: int = 16
+    fc_size: int = 4096  # reference overwrites this with the LSTM output size
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        hw = frames_visual_encoder_out_hw(self.frame_shape[-1])
+        target = (self.frame_shape[2], hw * hw)  # visual latent (T, S)
+        a_enc, a_hw = plan_stft_encoder_frames(self.stft_shape, target, self.latent_channels)
+        a_dec, _ = plan_stft_decoder_frames(a_hw, self.stft_shape, self.latent_channels)
+        self.latent_hw = a_hw
+
+        self.visual_encoder = FramesVisualEncoder(self.latent_channels, dtype=self.dtype)
+        self.stft_encoder = ConvStack(tuple(a_enc), dtype=self.dtype, use_bias=False)
+        self.stft_decoder = ConvStack(tuple(a_dec), dtype=self.dtype, use_bias=False)
+
+        self.lstm = BiLSTM(256, use_bias=False, dtype=self.dtype)
+        # fc sizes depend on the LSTM-flattened width; flax infers inputs
+        lstm_seq = 2 * self.latent_channels  # channels of the latent concat
+        flat = lstm_seq * 512
+        self.fc1 = nn.Dense(flat // 2, use_bias=False, dtype=self.dtype)
+        self.fc2 = nn.Dense(512, use_bias=False, dtype=self.dtype)
+        f_stft = self.stft_shape[-1]
+        self.a_fc1 = nn.Dense(2 * self.hops_per_frame * f_stft, use_bias=False, dtype=self.dtype)
+        self.v_fc1 = nn.Dense(
+            self.frame_shape[1] * self.frame_shape[-2] * self.frame_shape[-1],
+            use_bias=False, dtype=self.dtype,
+        )
+
+    def init_all(self, x_a: jnp.ndarray, x_v: jnp.ndarray):
+        """Touch every submodule so `init` creates all params."""
+        out = self(x_a, x_v)
+        _ = self.audio_ae_forward(x_a)
+        return out
+
+    def av_fusion_forward(self, x_a_enc: jnp.ndarray, x_v_enc: jnp.ndarray) -> jnp.ndarray:
+        """Latents [B,C,T,S] -> fused [B,512] (avse_model_final.py:235-251).
+
+        The concat is along axis 2 and the LSTM scans axis 1 (channels) — the
+        reference's exact dataflow, permute intentionally absent."""
+        cat = jnp.concatenate([x_v_enc, x_a_enc], axis=2)  # [B,C,2T,S]
+        cat = cat.reshape(cat.shape[0], cat.shape[1], -1)  # [B,C,2T*S]
+        av = self.lstm(cat)  # [B,C,512]
+        av = av.reshape(av.shape[0], -1)
+        av = jnp.tanh(self.fc1(av))
+        av = jnp.tanh(self.fc2(av))
+        return av
+
+    def audio_ae_forward(self, x_a: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        return self.stft_decoder(self.stft_encoder(x_a, train), train)
+
+    def __call__(
+        self, x_a: jnp.ndarray, x_v: jnp.ndarray, train: bool = False
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """(stft [B,2,T,F], frames [B,1,Tf,H,W]) ->
+        (ŷ_stft [B,2,hops_per_frame,F], ŷ_frame [B,1,H,W], fused [B,512]).
+
+        Middle-frame objective heads: tanh on audio, sigmoid on the single
+        reconstructed attention frame (avse_model_final.py:258-273).
+        """
+        x_a_enc = self.stft_encoder(x_a, train)
+        x_v_enc = self.visual_encoder(x_v, train)
+        fused = self.av_fusion_forward(x_a_enc, x_v_enc)
+        x_a_out = jnp.tanh(self.a_fc1(fused))
+        x_v_out = nn.sigmoid(self.v_fc1(fused))
+        x_a_out = x_a_out.reshape(
+            x_a.shape[0], 2, self.hops_per_frame, self.stft_shape[-1]
+        )
+        x_v_out = x_v_out.reshape(
+            x_v.shape[0], self.frame_shape[1], self.frame_shape[-2], self.frame_shape[-1]
+        )
+        return x_a_out, x_v_out, fused

@@ -1,0 +1,168 @@
+"""Shared flax building blocks.
+
+- `ConvStack`: executes a planned `ConvSpec` sequence. Public API is NCHW (the
+  reference's torch layout, e.g. stft features [B,2,T,F]); internally tensors
+  are NHWC so XLA:TPU convolutions hit their native layout. Transposed convs
+  reproduce torch's ConvTranspose2d geometry (crop `padding`, extend by
+  `output_padding`) on top of flax's VALID transpose.
+- `BiLSTM`: bidirectional LSTM via `jax.lax.scan`. The input projection
+  `x @ W_i` for all timesteps is hoisted out of the scan into one large MXU
+  matmul; only the small `h @ W_h` recurrence stays sequential. Gate order is
+  torch's (i, f, g, o) so torch checkpoints convert 1:1
+  (reference: avse_model.py:542-546, bias=False).
+- `BatchNorm` wrapper: torch-default momentum/eps. Under jit over a sharded
+  mesh the batch statistics are global-batch automatically (GSPMD inserts the
+  cross-device reductions), matching the reference's single-device semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from maavss_tpu.models.shape_plan import ConvSpec
+
+
+def activate(x: jnp.ndarray, act: Optional[str]) -> jnp.ndarray:
+    if act is None:
+        return x
+    if act == "tanh":
+        return jnp.tanh(x)
+    if act == "relu":
+        return nn.relu(x)
+    if act == "leaky_relu":
+        return nn.leaky_relu(x, negative_slope=0.3)  # reference slope (avse_model.py:71)
+    if act == "sigmoid":
+        return nn.sigmoid(x)
+    raise ValueError(f"unknown activation {act}")
+
+
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch defaults (momentum 0.1 torch == 0.9 flax, eps 1e-5)."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        return nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype,
+        )(x)
+
+
+class ConvStack(nn.Module):
+    """Sequential 2D conv / transposed-conv stack from planned specs.
+
+    Input/output are NCHW; `use_bias` follows the spec (`bias=False` for the
+    frames-model stacks, avse_model_final.py:98-102).
+    """
+
+    specs: Tuple[ConvSpec, ...]
+    dtype: jnp.dtype = jnp.float32
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = jnp.moveaxis(x, 1, -1)  # NCHW -> NHWC
+        for spec in self.specs:
+            ph, pw = spec.padding
+            if spec.transpose:
+                y = nn.ConvTranspose(
+                    features=spec.out_ch,
+                    kernel_size=spec.kernel,
+                    strides=spec.stride,
+                    padding="VALID",
+                    use_bias=self.use_bias,
+                    dtype=self.dtype,
+                )(x)
+                # torch ConvTranspose2d geometry: crop `padding` from both
+                # sides, keep `output_padding` extra elements on the far side
+                oph, opw = spec.output_padding
+                h, w = y.shape[1], y.shape[2]
+                y = y[:, ph : h - ph + oph, pw : w - pw + opw, :]
+                x = y
+            else:
+                x = nn.Conv(
+                    features=spec.out_ch,
+                    kernel_size=spec.kernel,
+                    strides=spec.stride,
+                    padding=((ph, ph), (pw, pw)),
+                    use_bias=self.use_bias,
+                    dtype=self.dtype,
+                )(x)
+            if spec.norm:
+                x = TorchBatchNorm(dtype=self.dtype)(x, train)
+            x = activate(x, spec.act)
+        return jnp.moveaxis(x, -1, 1)  # NHWC -> NCHW
+
+
+class LSTM(nn.Module):
+    """Unidirectional LSTM over [B, T, D] -> [B, T, H] via lax.scan."""
+
+    hidden: int
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+    reverse: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        d = x.shape[-1]
+        h = self.hidden
+        scale = 1.0 / jnp.sqrt(h)
+
+        def uniform_init(key, shape, dtype=self.dtype):
+            return jax.random.uniform(key, shape, dtype, -scale, scale)
+
+        w_i = self.param("w_i", uniform_init, (d, 4 * h))
+        w_h = self.param("w_h", uniform_init, (h, 4 * h))
+        b = self.param("b", uniform_init, (4 * h,)) if self.use_bias else None
+
+        # hoist the big matmul out of the recurrence: one [B*T, D]x[D, 4H]
+        xw = jnp.einsum("btd,dh->bth", x, w_i)
+        if b is not None:
+            xw = xw + b
+        if self.reverse:
+            xw = jnp.flip(xw, axis=1)
+
+        bsz = x.shape[0]
+        init = (
+            jnp.zeros((bsz, h), self.dtype),
+            jnp.zeros((bsz, h), self.dtype),
+        )
+
+        def step(carry, xt):
+            hs, cs = carry
+            gates = xt + hs @ w_h
+            i, f, g, o = jnp.split(gates, 4, axis=-1)  # torch gate order
+            i, f, o = nn.sigmoid(i), nn.sigmoid(f), nn.sigmoid(o)
+            g = jnp.tanh(g)
+            cs = f * cs + i * g
+            hs = o * jnp.tanh(cs)
+            return (hs, cs), hs
+
+        _, ys = jax.lax.scan(step, init, jnp.swapaxes(xw, 0, 1))
+        ys = jnp.swapaxes(ys, 0, 1)
+        if self.reverse:
+            ys = jnp.flip(ys, axis=1)
+        return ys
+
+
+class BiLSTM(nn.Module):
+    """Bidirectional LSTM: concat of forward and reverse passes -> [B, T, 2H].
+
+    Parity: nn.LSTM(hidden_size=256, bias=False, bidirectional=True)
+    (avse_model.py:542-546, avse_model_final.py:132-133).
+    """
+
+    hidden: int
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        fwd = LSTM(self.hidden, self.use_bias, self.dtype, reverse=False, name="fwd")(x)
+        bwd = LSTM(self.hidden, self.use_bias, self.dtype, reverse=True, name="bwd")(x)
+        return jnp.concatenate([fwd, bwd], axis=-1)
