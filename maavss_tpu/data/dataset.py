@@ -1,0 +1,184 @@
+"""Datasets + host batch pipeline.
+
+Capability parity with av_dataset.py's three dataset classes, redesigned so
+that __getitem__ returns *raw fixed-shape arrays* (audio samples + uint8
+frames) and every transform that the reference ran per-item on host
+(STFT, noise, normalization, phasegram, resize) runs batched inside the
+jit-compiled train step (maavss_tpu/train/steps.py):
+
+- `AVDataset`      ≅ AV_Dataset       (av_dataset.py:15-377)
+- `STFTDataset`    ≅ STFT_Dataset     (av_dataset.py:381-491): random audio crops
+- `VideoDataset`   ≅ Video_Dataset    (av_dataset.py:494-564): frames only
+
+The pipeline is `batches()` (shuffled, drop-remainder, infinite epochs,
+reference DataLoader(shuffle=True, drop_last=True) semantics, train.py:57-64)
+wrapped in `prefetch()` — a background-thread queue so host slicing overlaps
+device compute (the reference runs num_workers=0, i.e. no overlap at all).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from maavss_tpu.config import RunConfig
+from maavss_tpu.data.audio_memmap import AudioMemmap
+from maavss_tpu.data.clip_index import ClipIndex
+from maavss_tpu.data.frame_shards import FrameShardStore
+
+
+class AVDataset:
+    """Aligned (audio, frames) clips.
+
+    Clip geometry: `clip_len` video frames (the train scripts pass
+    num_frames + num_seq, train.py:33-43) -> audio span of
+    `hop * hops_per_frame * clip_len` samples starting at the clip's first
+    frame (av_dataset.py:285-300 uses the clip pts the same way).
+    `mode`: 'av' | 'audio' | 'video' gates which arrays are produced
+    (av_dataset.py:153-155 gen_stft/gen_video toggles).
+    """
+
+    def __init__(self, cfg: RunConfig, frames: FrameShardStore,
+                 audio: AudioMemmap, clip_len: int,
+                 cache_dir: str = "clipcache", mode: str = "av"):
+        self.cfg = cfg
+        self.frames = frames
+        self.audio = audio
+        self.mode = mode
+        self.clip_len = clip_len
+        self.samples_per_frame = cfg.hop * cfg.hops_per_frame
+        self.index = ClipIndex.load_or_build(
+            cache_dir,
+            video_paths=frames.video_ids,
+            total_frames=[frames.num_frames(v) for v in range(len(frames))],
+            video_fps=[frames.fps(v) for v in range(len(frames))],
+            clip_len=clip_len, frame_hop=cfg.frame_hop, framerate=cfg.framerate,
+        )
+        # audio files are matched to videos positionally: ingest writes one
+        # wav per video in the same order (process_downloads.py pairs by name)
+        if len(audio) != len(frames):
+            raise ValueError(
+                f"audio memmap has {len(audio)} files for {len(frames)} videos")
+
+    def __len__(self) -> int:
+        return self.index.num_clips()
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        v, frame_idx = self.index.clip_frame_indices(idx)
+        out: Dict[str, np.ndarray] = {}
+        if self.mode in ("av", "video"):
+            fr = self.frames.read(v, frame_idx)
+            out["frames"] = fr.astype(np.float32) / 255.0
+        if self.mode in ("av", "audio"):
+            fps = self.cfg.framerate
+            start = int(round(frame_idx[0] * self.cfg.samplerate / fps))
+            num = self.samples_per_frame * self.clip_len
+            out["audio"] = self.audio.read(v, start, num)
+        return out
+
+
+class STFTDataset:
+    """Random fixed-length audio crops -> denoising-AE pairs are built on
+    device; host side returns only the raw crop (av_dataset.py:381-491)."""
+
+    def __init__(self, cfg: RunConfig, audio: AudioMemmap,
+                 num_samples: Optional[int] = None, seed: int = 0):
+        self.cfg = cfg
+        self.audio = audio
+        self.num_samples = num_samples or cfg.audio_sample_len
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return len(self.audio)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        n = self.audio.file_num_samples(idx)
+        hi = max(1, n - self.num_samples)
+        start = int(self._rng.integers(0, hi))
+        return {"audio": self.audio.read(idx, start, self.num_samples)}
+
+
+class VideoDataset(AVDataset):
+    """Frames-only view (av_dataset.py:494-564)."""
+
+    def __init__(self, cfg: RunConfig, frames: FrameShardStore, clip_len: int,
+                 cache_dir: str = "clipcache"):
+        # bypass the audio pairing check with a frames-only index
+        self.cfg = cfg
+        self.frames = frames
+        self.mode = "video"
+        self.clip_len = clip_len
+        self.samples_per_frame = cfg.hop * cfg.hops_per_frame
+        self.index = ClipIndex.load_or_build(
+            cache_dir,
+            video_paths=frames.video_ids,
+            total_frames=[frames.num_frames(v) for v in range(len(frames))],
+            video_fps=[frames.fps(v) for v in range(len(frames))],
+            clip_len=clip_len, frame_hop=cfg.frame_hop, framerate=cfg.framerate,
+        )
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        v, frame_idx = self.index.clip_frame_indices(idx)
+        fr = self.frames.read(v, frame_idx)
+        return {"frames": fr.astype(np.float32) / 255.0}
+
+
+class Subset:
+    """Index-selected view of a dataset (train/val split carrier)."""
+
+    def __init__(self, dataset, indices):
+        self.dataset = dataset
+        self.indices = np.asarray(indices, np.int64)
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    def __getitem__(self, i: int):
+        return self.dataset[int(self.indices[i])]
+
+
+def batches(dataset, batch_size: int, shuffle: bool = True, seed: int = 0,
+            ) -> Iterator[Dict[str, np.ndarray]]:
+    """Infinite epoch-shuffled drop-remainder batch stream."""
+    rng = np.random.default_rng(seed)
+    n = len(dataset)
+    if n < batch_size:
+        raise ValueError(f"dataset has {n} items < batch_size {batch_size}")
+    while True:
+        order = rng.permutation(n) if shuffle else np.arange(n)
+        for i in range(0, n - batch_size + 1, batch_size):
+            items = [dataset[int(j)] for j in order[i:i + batch_size]]
+            yield {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+
+def prefetch(it: Iterator, size: int = 2) -> Iterator:
+    """Background-thread prefetch queue: host batch assembly overlaps device
+    compute (the reference's DataLoaders run num_workers=0, train.py:57-64)."""
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    sentinel = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        yield item
+
+
+def split_train_val(dataset_len: int, split: float, seed: int = 0):
+    """Index split (reference splits by clip count, train.py:46-52)."""
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(dataset_len)
+    n_train = int(dataset_len * split)
+    return order[:n_train], order[n_train:]

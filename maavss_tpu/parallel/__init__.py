@@ -1,0 +1,8 @@
+from maavss_tpu.parallel.mesh import (  # noqa: F401
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_sharding,
+    make_mesh,
+    replicated_sharding,
+    shard_batch,
+)

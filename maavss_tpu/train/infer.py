@@ -1,0 +1,81 @@
+"""Inference: separation + SI-SDR evaluation.
+
+The reference has no eval path at all (BASELINE.md: no SI-SDR anywhere); the
+framework ships its own, since SI-SDR parity is the fidelity target. The
+separator runs the fusion model over every sliding window of a clip, applies
+the predicted STFT (complex-mask semantics: the model regresses the clean
+complex STFT directly, avse_model.py:680-711), and resynthesizes audio via
+the exact-inverse iSTFT (maavss_tpu/ops/stft.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from maavss_tpu.config import RunConfig
+from maavss_tpu.ops.metrics import si_sdr
+from maavss_tpu.ops.phasegram import video_phasegram
+from maavss_tpu.ops.stft import istft_features, stft_features
+from maavss_tpu.train.state import TrainState
+
+
+def make_separator(model, cfg: RunConfig):
+    """Compiled `separate(state, batch, rng) -> dict` over
+    batch = {'audio': [B, S_total], 'frames': [B, T_total, p, p]}.
+
+    Denoising setup mirrors training: input = clean STFT + noise; output
+    audio comes from the model's predicted complex STFT, inverted window by
+    window and overlap-averaged on the shared hops.
+    """
+    a, nf, ns = cfg.hops_per_frame, cfg.num_frames, cfg.num_seq
+
+    @jax.jit
+    def separate(state: TrainState, batch, rng: jax.Array) -> Dict[str, jnp.ndarray]:
+        y_full = stft_features(batch["audio"], cfg.fft_len, cfg.hop,
+                               normalized=cfg.normalize_fft, trim_end=True,
+                               polar=cfg.use_polar)
+        x_full = y_full + jax.random.normal(rng, y_full.shape, y_full.dtype) * cfg.noise_scalar
+        frames = batch["frames"]
+        resize = None if frames.shape[-1] == cfg.p_size else (cfg.p_size, cfg.p_size)
+
+        t_total = y_full.shape[2]
+        acc = jnp.zeros_like(y_full)
+        cnt = jnp.zeros((1, 1, t_total, 1), y_full.dtype)
+
+        def body(carry, j):
+            acc, cnt = carry
+            fr = jax.lax.dynamic_slice_in_dim(frames, j, nf, axis=1)
+            pg = video_phasegram(fr, resize=resize)
+            xs = jax.lax.dynamic_slice_in_dim(x_full, j * a, nf * a, axis=2)
+            yh, _, _ = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                xs, pg, train=False)
+            acc = jax.lax.dynamic_update_slice_in_dim(
+                acc, jax.lax.dynamic_slice_in_dim(acc, j * a, nf * a, axis=2) + yh,
+                j * a, axis=2)
+            ones = jnp.ones((1, 1, nf * a, 1), cnt.dtype)
+            cnt = jax.lax.dynamic_update_slice_in_dim(
+                cnt, jax.lax.dynamic_slice_in_dim(cnt, j * a, nf * a, axis=2) + ones,
+                j * a, axis=2)
+            return (acc, cnt), None
+
+        (acc, cnt), _ = jax.lax.scan(body, (acc, cnt), jnp.arange(ns))
+        yh_full = acc / jnp.maximum(cnt, 1.0)
+
+        length = batch["audio"].shape[-1]
+        yh_audio = istft_features(yh_full, cfg.fft_len, cfg.hop,
+                                  normalized=cfg.normalize_fft, trim_end=True,
+                                  polar=cfg.use_polar, length=length)
+        x_audio = istft_features(x_full, cfg.fft_len, cfg.hop,
+                                 normalized=cfg.normalize_fft, trim_end=True,
+                                 polar=cfg.use_polar, length=length)
+        sdr_out = si_sdr(yh_audio, batch["audio"])
+        sdr_in = si_sdr(x_audio, batch["audio"])
+        return {"audio_out": yh_audio, "audio_in": x_audio,
+                "si_sdr": sdr_out, "si_sdr_noisy": sdr_in,
+                "si_sdr_gain": sdr_out - sdr_in}
+
+    return separate

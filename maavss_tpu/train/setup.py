@@ -1,0 +1,125 @@
+"""Shared entry-script plumbing: data stores, models, states, meshes.
+
+Each reference train script repeats ~60 lines of dataset/model/optimizer
+boilerplate (SURVEY.md §2.1); these builders are that boilerplate once. Entry
+scripts at the repo root stay thin flag-parsers, preserving the reference's
+public CLI surface.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from maavss_tpu.config import RunConfig
+from maavss_tpu.data.audio_memmap import AudioMemmap
+from maavss_tpu.data.frame_shards import FrameShardStore
+from maavss_tpu.models.fusion import AVFusionModel
+from maavss_tpu.models.fusion_frames import AVFusionFramesModel
+from maavss_tpu.parallel.mesh import make_mesh
+from maavss_tpu.train.state import TrainState, create_train_state, make_optimizer
+
+FUSION_SUBNETS = ("lstm", "fc1", "fc2", "a_fc1", "v_fc1")
+
+
+def init_runtime(cache_dir: str = "~/.cache/maavss_jax") -> None:
+    """Enable JAX's persistent compilation cache so repeat launches skip XLA
+    compilation. Idempotent. Skipped on experimental remote-compile backends
+    (e.g. 'axon' tunnels), where the cache write path wedges the compile
+    request indefinitely."""
+    try:
+        if jax.devices()[0].platform not in ("tpu", "cpu", "gpu") or \
+                os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1":
+            return
+        path = os.path.expanduser(cache_dir)
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # cache is an optimization, never fatal
+        print(f"compilation cache unavailable: {e}")
+
+
+def load_stores(cfg: RunConfig, frames_dir: str = "frames", audio_dir: str = "audio",
+                ) -> Tuple[Optional[FrameShardStore], Optional[AudioMemmap]]:
+    """Open the ingested data stores under cfg.data_path.
+
+    `--data_path synthetic[:N]` builds an on-the-fly synthetic store (no
+    MUSICES download needed) under ./data/synthetic — the CI/smoke path.
+    """
+    if cfg.data_path.startswith("synthetic"):
+        from maavss_tpu.data.synthetic import build_synthetic_store
+
+        n = int(cfg.data_path.split(":", 1)[1]) if ":" in cfg.data_path else 4
+        out = os.path.join("data", "synthetic")
+        frames_path = os.path.join(out, "frames")
+        audio_path = os.path.join(out, "audio")
+        if not os.path.exists(os.path.join(frames_path, "meta.json")):
+            build_synthetic_store(out, cfg, n_videos=n, seconds=2.0,
+                                  frame_size=cfg.p_size)
+        return FrameShardStore(frames_path), AudioMemmap(audio_path)
+
+    frames_path = os.path.join(cfg.data_path, frames_dir)
+    audio_path = os.path.join(cfg.data_path, audio_dir)
+    frames = FrameShardStore(frames_path) if os.path.isdir(frames_path) else None
+    audio = AudioMemmap(audio_path) if os.path.isdir(audio_path) else None
+    if frames is None and audio is None:
+        raise SystemExit(
+            f"no ingested data under {cfg.data_path} (expected {frames_dir}/ "
+            f"and {audio_dir}/ from tools/ingest.py) — or pass "
+            f"--data_path synthetic for the built-in fixture dataset")
+    return frames, audio
+
+
+def default_mesh(cfg: RunConfig):
+    n = len(jax.devices())
+    if n <= 1:
+        return None
+    model = cfg.mesh_model
+    data = cfg.mesh_data if cfg.mesh_data != -1 else n // model
+    return make_mesh(data=data, model=model)
+
+
+def build_fusion(cfg: RunConfig, batch_size: int,
+                 trainable: Optional[Sequence[str]] = None,
+                 optimizer: str = "adam") -> Tuple[AVFusionModel, TrainState]:
+    t_stft = cfg.hops_per_frame * cfg.num_frames
+    model = AVFusionModel(
+        stft_shape=(batch_size, 2, t_stft, cfg.fft_len // 2),
+        pgram_shape=(batch_size, 1, cfg.num_frames, cfg.p_size**2),
+        latent_channels=cfg.latent_chan, fc_size=cfg.fc_size,
+        dtype=jnp.dtype(cfg.dtype),
+    )
+    x_a = jnp.zeros(model.stft_shape, jnp.float32)
+    x_v = jnp.zeros(model.pgram_shape, jnp.float32)
+    variables = model.init(jax.random.PRNGKey(cfg.seed), x_a, x_v,
+                           method=model.init_all)
+    tx = make_optimizer(cfg.learning_rate, optimizer, trainable=trainable,
+                        params=variables["params"])
+    return model, create_train_state(variables, tx)
+
+
+def build_frames_model(cfg: RunConfig, batch_size: int, frame_size: int,
+                       latent_channels: int = 16,
+                       ) -> Tuple[AVFusionFramesModel, TrainState]:
+    t_stft = cfg.hops_per_frame * cfg.num_frames
+    model = AVFusionFramesModel(
+        stft_shape=(batch_size, 2, t_stft, cfg.fft_len // 2 + 1),
+        frame_shape=(batch_size, 1, cfg.num_frames, frame_size, frame_size),
+        hops_per_frame=cfg.hops_per_frame, latent_channels=latent_channels,
+        fc_size=cfg.fc_size, dtype=jnp.dtype(cfg.dtype),
+    )
+    x_a = jnp.zeros(model.stft_shape, jnp.float32)
+    x_v = jnp.zeros(model.frame_shape, jnp.float32)
+    variables = model.init(jax.random.PRNGKey(cfg.seed), x_a, x_v,
+                           method=model.init_all)
+    tx = make_optimizer(cfg.learning_rate, "adam")
+    return model, create_train_state(variables, tx)
+
+
+def run_name(prefix: str, cfg: RunConfig) -> str:
+    import time
+
+    return f"{prefix}-{time.strftime('%Y%m%d-%H%M%S')}-s{cfg.seed}"

@@ -1,0 +1,90 @@
+"""Train state and optimizer construction.
+
+One `TrainState` (params + BatchNorm batch_stats + optax state + step) replaces
+the reference's (model, optimizer) pair. The reference's per-subnet gradient
+toggles (`toggle_av_grads` etc., avse_model.py:630-656) become an
+`optax.masked` trainable-prefix filter — stage-wise training (pretrain AEs,
+then train fusion with frozen AEs, train_av_net.py:73-75) is an optimizer
+config instead of mutable module state.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import optax
+from flax import core
+from flax import struct
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: core.FrozenDict[str, Any]
+    batch_stats: core.FrozenDict[str, Any]
+    opt_state: optax.OptState
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads, batch_stats=None) -> "TrainState":
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1,
+            params=new_params,
+            batch_stats=self.batch_stats if batch_stats is None else batch_stats,
+            opt_state=new_opt_state,
+        )
+
+
+def trainable_labels(params: Any, trainable_prefixes: Sequence[str]) -> Any:
+    """Pytree of 'train'/'freeze' labels by top-level module name.
+
+    Mirrors the reference's grad toggles, which flip requires_grad per
+    submodule (avse_model.py:630-656). Frozen leaves get set_to_zero updates
+    (optax.masked would pass raw gradients through unmodified)."""
+
+    def mark(path_name: str) -> str:
+        hit = any(path_name == p or path_name.startswith(p) for p in trainable_prefixes)
+        return "train" if hit else "freeze"
+
+    return {k: jax.tree_util.tree_map(lambda _: mark(k), v) for k, v in params.items()}
+
+
+def make_optimizer(
+    learning_rate: float,
+    name: str = "adam",
+    trainable: Optional[Sequence[str]] = None,
+    params: Optional[Any] = None,
+) -> optax.GradientTransformation:
+    """Adam (reference default, train.py:55) or SGD (main.py:61); optional
+    trainable-prefix mask for staged training."""
+    if name == "adam":
+        tx = optax.adam(learning_rate)
+    elif name == "sgd":
+        tx = optax.sgd(learning_rate)
+    elif name == "adamw":
+        tx = optax.adamw(learning_rate)
+    else:
+        raise ValueError(f"unknown optimizer {name}")
+    if trainable is not None:
+        if params is None:
+            raise ValueError("trainable mask requires params")
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()},
+            trainable_labels(params, trainable),
+        )
+    return tx
+
+
+def create_train_state(variables: Any, tx: optax.GradientTransformation) -> TrainState:
+    import jax.numpy as jnp
+
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", core.FrozenDict())
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        tx=tx,
+    )

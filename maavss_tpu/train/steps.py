@@ -1,0 +1,356 @@
+"""Jit-compiled, mesh-sharded train steps for every reference training regime.
+
+Each factory returns one compiled `step(state, batch, rng, mode) -> (state,
+metrics)` containing the *entire* per-step pipeline on device:
+
+  raw audio/frames -> STFT + noise + normalization + phasegram (preprocess)
+  -> sliding-window forward/backward with gradient accumulation (lax.scan)
+  -> one optimizer update.
+
+The reference runs this as Python: per-window `loss.backward()` in an inner
+loop (train.py:136-162), phasegram recomputed on host per window
+(train.py:139), noise/normalization inside Dataset.__getitem__. Here the
+windows are a `lax.scan` over window starts — XLA sees one fused program, the
+MXU stays hot, and there is no host↔device traffic inside a step.
+
+Modality-dropout curriculum (train.py:123-130, train_avse_frames.py:126-136):
+`mode` is a traced scalar (0=audio-only, 1=visual-only, 2=AV) so switching
+modes does NOT recompile; inactive inputs are zero-masked exactly like the
+reference zeroes its tensors.
+
+Sharding: batch inputs `P('data')`, state replicated; GSPMD inserts the
+gradient all-reduce over ICI. BatchNorm batch statistics therefore aggregate
+over the *global* batch, matching reference single-device semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from maavss_tpu.config import RunConfig
+from maavss_tpu.ops.phasegram import video_phasegram
+from maavss_tpu.ops.stft import stft_features
+from maavss_tpu.parallel.mesh import DATA_AXIS
+from maavss_tpu.train.state import TrainState
+
+Metrics = Dict[str, jnp.ndarray]
+
+
+def mse(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(jnp.square(a - b))
+
+
+def norm_per_example(feats: jnp.ndarray) -> jnp.ndarray:
+    """Per-example max-abs STFT normalization (av_dataset.py:339-340 runs per
+    dataset item; batched here, so the max is per example, not global)."""
+    axes = tuple(range(1, feats.ndim))
+    m = jnp.max(jnp.abs(feats) + 1e-7, axis=axes, keepdims=True)
+    return feats / m
+
+
+def _jit_step(step: Callable, mesh: Optional[Mesh], batch_spec: Any):
+    """Compile with shardings when a mesh is given (single-device otherwise)."""
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+    repl = NamedSharding(mesh, P())
+    bshard = NamedSharding(mesh, P(DATA_AXIS))
+    batch_shardings = jax.tree_util.tree_map(lambda _: bshard, batch_spec)
+    return jax.jit(
+        step,
+        donate_argnums=(0,),
+        in_shardings=(repl, batch_shardings, repl, repl),
+        out_shardings=(repl, repl),
+    )
+
+
+def _prep_stft_pair(
+    audio: jnp.ndarray, cfg: RunConfig, rng: jax.Array, trim_end: bool, max_norm: bool
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """audio [B,S] -> (x_stft, y_stft) [B,2,T,F]: STFT, optional per-example
+    max-norm, then additive-noise input (av_dataset.py:335-342,217-220)."""
+    y = stft_features(
+        audio, cfg.fft_len, cfg.hop,
+        normalized=cfg.normalize_fft, trim_end=trim_end, polar=cfg.use_polar,
+    )
+    if max_norm:
+        y = norm_per_example(y)
+    x = y + jax.random.normal(rng, y.shape, y.dtype) * cfg.noise_scalar
+    return x, y
+
+
+def _accumulate(
+    window_loss: Callable[[Any, Any, jnp.ndarray], Tuple[jnp.ndarray, Tuple[Any, Metrics]]],
+    state: TrainState,
+    num_windows: int,
+) -> Tuple[TrainState, Metrics]:
+    """Scan `num_windows` sliding windows, accumulating grads and carrying
+    BatchNorm stats; one optimizer step at the end (train.py:136-162:
+    per-window loss/num_seq backward, then a single optimizer.step())."""
+    grad_fn = jax.value_and_grad(window_loss, has_aux=True)
+    zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+    zero_metrics = {"loss": jnp.zeros(()), "a_loss": jnp.zeros(()), "v_loss": jnp.zeros(())}
+
+    def body(carry, j):
+        grads_acc, bstats, macc = carry
+        (loss, (new_bstats, m)), grads = grad_fn(state.params, bstats, j)
+        grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+        macc = {k: macc[k] + m[k] / num_windows for k in macc}
+        return (grads_acc, new_bstats, macc), None
+
+    (grads, bstats, metrics), _ = jax.lax.scan(
+        body, (zero_grads, state.batch_stats, zero_metrics), jnp.arange(num_windows)
+    )
+    new_state = state.apply_gradients(grads=grads, batch_stats=bstats)
+    return new_state, metrics
+
+
+# ---------------------------------------------------------------------------
+# Fusion model (train.py / train_av_net.py regimes)
+# ---------------------------------------------------------------------------
+
+def make_fusion_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None):
+    """Train step for AVFusionModel over `batch = {'audio': [B, S_total],
+    'frames': [B, T_total, p, p]}` with T_total = num_frames + num_seq
+    attention frames already at phasegram resolution.
+
+    Windowed objective with modality curriculum (train.py:112-181).
+    """
+    a, nf, ns = cfg.hops_per_frame, cfg.num_frames, cfg.num_seq
+    coeff, obj_zeros = cfg.loss_coeff, cfg.objective_zeros
+
+    def step(state: TrainState, batch, rng: jax.Array, mode: jnp.ndarray):
+        mode = jnp.asarray(mode)
+        x_full, y_full = _prep_stft_pair(
+            batch["audio"], cfg, rng, trim_end=True, max_norm=cfg.normalize_output_fft
+        )
+        frames = batch["frames"]  # [B, T_total, p, p]
+        a_mask = jnp.where(mode == 1, 0.0, 1.0)  # visual-only zeroes audio in
+        v_mask = jnp.where(mode == 0, 0.0, 1.0)  # audio-only zeroes visual in
+        ya_mask = jnp.where((mode == 1) & bool(obj_zeros), 0.0, 1.0)
+
+        # shards may store frames above phasegram resolution; resize on device
+        resize = None if frames.shape[-1] == cfg.p_size else (cfg.p_size, cfg.p_size)
+
+        def window_loss(params, bstats, j):
+            fr = jax.lax.dynamic_slice_in_dim(frames, j, nf, axis=1)
+            # per-window phasegram normalization, like train.py:139
+            y_pg = video_phasegram(fr, resize=resize)
+            xs = jax.lax.dynamic_slice_in_dim(x_full, j * a, nf * a, axis=2)
+            ys = jax.lax.dynamic_slice_in_dim(y_full, j * a, nf * a, axis=2)
+            (yh_a, yh_v, _), mut = model.apply(
+                {"params": params, "batch_stats": bstats},
+                xs * a_mask, y_pg * v_mask, train=True, mutable=["batch_stats"],
+            )
+            a_loss = mse(yh_a, ys * ya_mask)
+            v_loss = mse(yh_v, y_pg)
+            loss = a_loss + coeff * v_loss
+            return loss / ns, (mut["batch_stats"],
+                               {"loss": loss, "a_loss": a_loss, "v_loss": v_loss})
+
+        return _accumulate(window_loss, state, ns)
+
+    batch_spec = {"audio": 0, "frames": 0}
+    return _jit_step(step, mesh, batch_spec)
+
+
+# ---------------------------------------------------------------------------
+# Frames model — middle-frame objective (train_avse_frames.py regime)
+# ---------------------------------------------------------------------------
+
+def make_frames_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None):
+    """Train step for AVFusionFramesModel over `batch = {'audio': [B, S_total],
+    'frames': [B, T_total, H, W]}` (raw attention frames at framesize).
+
+    Each window predicts only the middle frame's `hops_per_frame` STFT columns
+    and one attention frame (train_avse_frames.py:150-181). STFT keeps the
+    Nyquist bin (F = fft_len//2 + 1) per the final model's geometry.
+    """
+    a, nf, ns = cfg.hops_per_frame, cfg.num_frames, cfg.num_seq
+    coeff, obj_zeros = cfg.loss_coeff, cfg.objective_zeros
+    idx_middle = (ns - 1) // 2  # train_avse_frames.py:105
+
+    def step(state: TrainState, batch, rng: jax.Array, mode: jnp.ndarray):
+        mode = jnp.asarray(mode)
+        x_full, y_full = _prep_stft_pair(
+            batch["audio"], cfg, rng, trim_end=False, max_norm=cfg.normalize_output_fft
+        )
+        frames = batch["frames"][:, :, None]  # [B, T_total, 1, H, W]
+        a_in_mask = jnp.where(mode == 1, 0.0, 1.0)
+        v_in_mask = jnp.where(mode == 0, 0.0, 1.0)
+        ya_mask = jnp.where((mode == 1) & bool(obj_zeros), 0.0, 1.0)
+        yv_mask = jnp.where((mode == 0) & bool(obj_zeros), 0.0, 1.0)
+
+        def window_loss(params, bstats, j):
+            fr = jax.lax.dynamic_slice_in_dim(frames, j, nf, axis=1)  # [B,nf,1,H,W]
+            x_v = jnp.transpose(fr, (0, 2, 1, 3, 4))  # [B,1,nf,H,W]
+            y_v = jax.lax.dynamic_slice_in_dim(frames, j + idx_middle, 1, axis=1)[:, 0]
+            xs = jax.lax.dynamic_slice_in_dim(x_full, j * a, nf * a, axis=2)
+            ys = jax.lax.dynamic_slice_in_dim(
+                y_full, (j + idx_middle) * a, a, axis=2
+            )
+            (yh_a, yh_v, _), mut = model.apply(
+                {"params": params, "batch_stats": bstats},
+                xs * a_in_mask, x_v * v_in_mask, train=True, mutable=["batch_stats"],
+            )
+            a_loss = mse(yh_a, ys * ya_mask)
+            v_loss = mse(yh_v, y_v * yv_mask)
+            loss = a_loss + coeff * v_loss
+            return loss / ns, (mut["batch_stats"],
+                               {"loss": loss, "a_loss": a_loss, "v_loss": v_loss})
+
+        return _accumulate(window_loss, state, ns)
+
+    batch_spec = {"audio": 0, "frames": 0}
+    return _jit_step(step, mesh, batch_spec)
+
+
+# ---------------------------------------------------------------------------
+# Autoencoder pretraining regimes
+# ---------------------------------------------------------------------------
+
+def make_audio_ae_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
+                       trim_end: bool = True):
+    """STFT-autoencoder step over `batch = {'audio': [B, samples]}`
+    (train_autoencoder.py / train_audio_net.py regimes: denoising mse on the
+    AE path, `audio_ae_forward`)."""
+
+    def step(state: TrainState, batch, rng: jax.Array, mode: jnp.ndarray):
+        del mode
+        x, y = _prep_stft_pair(
+            batch["audio"], cfg, rng, trim_end=trim_end, max_norm=cfg.normalize_fft
+        )
+
+        def loss_fn(params, bstats):
+            yh, mut = model.apply(
+                {"params": params, "batch_stats": bstats},
+                x, train=True, mutable=["batch_stats"],
+                method=model.audio_ae_forward,
+            )
+            loss = mse(yh, y)
+            return loss, mut["batch_stats"]
+
+        (loss, bstats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats
+        )
+        new_state = state.apply_gradients(grads=grads, batch_stats=bstats)
+        return new_state, {"loss": loss, "a_loss": loss, "v_loss": jnp.zeros(())}
+
+    return _jit_step(step, mesh, {"audio": 0})
+
+
+def make_fusion_eval(model, cfg: RunConfig, mesh: Optional[Mesh] = None):
+    """Validation pass for the fusion regime: same windowed objective, no
+    grads, BatchNorm in inference mode (running stats) — the reference's
+    model.eval() val block (train_av_net.py:147-173)."""
+    a, nf, ns = cfg.hops_per_frame, cfg.num_frames, cfg.num_seq
+    coeff = cfg.loss_coeff
+
+    def evaluate(state: TrainState, batch, rng: jax.Array, mode: jnp.ndarray):
+        mode = jnp.asarray(mode)
+        x_full, y_full = _prep_stft_pair(
+            batch["audio"], cfg, rng, trim_end=True, max_norm=cfg.normalize_output_fft
+        )
+        frames = batch["frames"]
+        a_mask = jnp.where(mode == 1, 0.0, 1.0)
+        v_mask = jnp.where(mode == 0, 0.0, 1.0)
+
+        resize = None if frames.shape[-1] == cfg.p_size else (cfg.p_size, cfg.p_size)
+
+        def window(j):
+            fr = jax.lax.dynamic_slice_in_dim(frames, j, nf, axis=1)
+            y_pg = video_phasegram(fr, resize=resize)
+            xs = jax.lax.dynamic_slice_in_dim(x_full, j * a, nf * a, axis=2)
+            ys = jax.lax.dynamic_slice_in_dim(y_full, j * a, nf * a, axis=2)
+            yh_a, yh_v, _ = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                xs * a_mask, y_pg * v_mask, train=False,
+            )
+            a_loss = mse(yh_a, ys)
+            v_loss = mse(yh_v, y_pg)
+            return a_loss + coeff * v_loss, a_loss, v_loss
+
+        losses = [window(jnp.int32(j)) for j in range(ns)]
+        loss = sum(l[0] for l in losses) / ns
+        return {"loss": loss,
+                "a_loss": sum(l[1] for l in losses) / ns,
+                "v_loss": sum(l[2] for l in losses) / ns}
+
+    if mesh is None:
+        return jax.jit(evaluate)
+    repl = NamedSharding(mesh, P())
+    bshard = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(
+        evaluate,
+        in_shardings=(repl, {"audio": bshard, "frames": bshard}, repl, repl),
+        out_shardings=repl,
+    )
+
+
+def make_audio_ae_eval(model, cfg: RunConfig, trim_end: bool = True):
+    """Validation for the STFT-AE regimes (train_audio_net.py:139-162)."""
+
+    @jax.jit
+    def evaluate(state: TrainState, batch, rng: jax.Array, mode: jnp.ndarray):
+        del mode
+        x, y = _prep_stft_pair(
+            batch["audio"], cfg, rng, trim_end=trim_end, max_norm=cfg.normalize_fft
+        )
+        yh = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x, train=False, method=model.audio_ae_forward,
+        )
+        loss = mse(yh, y)
+        return {"loss": loss, "a_loss": loss, "v_loss": jnp.zeros(())}
+
+    return evaluate
+
+
+def make_visual_ae_eval(model, cfg: RunConfig):
+    """Validation for the phasegram-AE regime (train_visual_net.py:112-139)."""
+
+    @jax.jit
+    def evaluate(state: TrainState, batch, rng: jax.Array, mode: jnp.ndarray):
+        del rng, mode
+        frames = batch["frames"]
+        resize = None if frames.shape[-1] == cfg.p_size else (cfg.p_size, cfg.p_size)
+        y_pg = video_phasegram(frames, resize=resize)
+        yh = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            y_pg, train=False, method=model.visual_ae_forward,
+        )
+        loss = mse(yh, y_pg)
+        return {"loss": loss, "a_loss": jnp.zeros(()), "v_loss": loss}
+
+    return evaluate
+
+
+def make_visual_ae_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None):
+    """Phasegram-autoencoder step over `batch = {'frames': [B, T, p, p]}`
+    (train_visual_net.py / train_3d_conv_net.py regimes)."""
+
+    def step(state: TrainState, batch, rng: jax.Array, mode: jnp.ndarray):
+        del rng, mode
+        frames = batch["frames"]
+        resize = None if frames.shape[-1] == cfg.p_size else (cfg.p_size, cfg.p_size)
+        y_pg = video_phasegram(frames, resize=resize)  # [B,1,T,p^2]
+
+        def loss_fn(params, bstats):
+            yh, mut = model.apply(
+                {"params": params, "batch_stats": bstats},
+                y_pg, train=True, mutable=["batch_stats"],
+                method=model.visual_ae_forward,
+            )
+            loss = mse(yh, y_pg)
+            return loss, mut["batch_stats"]
+
+        (loss, bstats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats
+        )
+        new_state = state.apply_gradients(grads=grads, batch_stats=bstats)
+        return new_state, {"loss": loss, "a_loss": jnp.zeros(()), "v_loss": loss}
+
+    return _jit_step(step, mesh, {"frames": 0})

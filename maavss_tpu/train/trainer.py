@@ -1,0 +1,143 @@
+"""Trainer: one loop reproducing every reference training script's behavior.
+
+The reference has 9 near-copy train scripts (SURVEY.md §2.1); each becomes a
+(step_fn, mode_schedule, checkpoint_policy) configuration of this single
+Trainer:
+
+- epoch x steps_per_epoch loop over an (infinite) host batch iterator,
+- modality-curriculum schedule: 'cycle' increments mode 0→1→2 every
+  `mode_freq` epochs (train.py:239-241); 'random01' draws mode ∈ {0,1}
+  (train_avse_frames.py:219-220 — the reference's randint(0,2) excludes AV
+  mode, a quirk preserved under its own name); 'fixed' pins one mode,
+- per-step metrics to JSONL (+ optional wandb) with the reference's metric
+  names, plus the clips/sec/chip meter (the benchmark metric),
+- checkpoint policies: 'epoch' (train_avse_frames.py:222-226), 'best' val
+  loss (train_av_net.py:174-181), every-N-steps via cfg.cp_freq
+  (train_audio_net.py:128-134); auto-resume via cfg.c / cfg.checkpoint.
+
+Because `mode` is a traced argument of the compiled step, curriculum switches
+never recompile; the host loop is bookkeeping only.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from maavss_tpu.config import RunConfig
+from maavss_tpu.exp.checkpoint import load_checkpoint, save_checkpoint
+from maavss_tpu.exp.metrics import Meter, MetricsLogger
+from maavss_tpu.train.state import TrainState
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: RunConfig,
+        step_fn: Callable,
+        state: TrainState,
+        run_name: str = "run",
+        eval_fn: Optional[Callable] = None,
+        mode_schedule: str = "cycle",  # cycle | random01 | fixed
+        fixed_mode: int = 2,
+        checkpoint_policy: str = "epoch",  # epoch | best | none
+        n_chips: int = 1,
+        logger: Optional[MetricsLogger] = None,
+    ):
+        self.cfg = cfg
+        self.step_fn = step_fn
+        self.state = state
+        self.eval_fn = eval_fn
+        self.run_name = run_name
+        self.mode_schedule = mode_schedule
+        self.checkpoint_policy = checkpoint_policy
+        self.mode = 0 if mode_schedule == "cycle" else fixed_mode
+        self.logger = logger or MetricsLogger(
+            cfg.log_dir, run_name, use_wandb=cfg.wandb,
+            config=dataclasses.asdict(cfg),
+        )
+        self.meter = Meter(n_chips)
+        self.epoch = 0
+        self._rng = jax.random.PRNGKey(cfg.seed)
+        self._np_rng = np.random.default_rng(cfg.seed)
+
+        if cfg.c or cfg.checkpoint is not None:
+            self.state, self.epoch = load_checkpoint(
+                cfg.cp_dir, self.state, auto=cfg.c, path=cfg.checkpoint,
+                load_opt=cfg.cp_load_opt,
+            )
+
+    def _next_rng(self) -> jax.Array:
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    def _advance_mode(self) -> None:
+        if self.mode_schedule == "cycle":
+            if self.epoch % self.cfg.mode_freq == 0:
+                self.mode = (self.mode + 1) % 3  # train.py:239-241
+        elif self.mode_schedule == "random01":
+            if self.epoch % self.cfg.mode_freq == 0:
+                # reference quirk: randint(0,2) -> {0,1} only
+                self.mode = int(self._np_rng.integers(0, 2))
+
+    def fit(self, train_batches: Iterator, val_batches: Optional[Iterator] = None
+            ) -> TrainState:
+        cfg = self.cfg
+        best_val = float("inf")
+        global_step = int(self.state.step)
+        for e in range(self.epoch, cfg.epochs):
+            self.epoch = e
+            self.meter.reset()
+            last_metrics = {}
+            for i in range(cfg.steps_per_epoch):
+                batch = next(train_batches)
+                self.state, metrics = self.step_fn(
+                    self.state, batch, self._next_rng(), jnp.int32(self.mode)
+                )
+                bsz = len(jax.tree_util.tree_leaves(batch)[0])
+                self.meter.update(bsz)
+                global_step += 1
+                last_metrics = {k: float(v) for k, v in metrics.items()}
+                self.logger.log(
+                    {**last_metrics, "mode": self.mode, "epoch": e,
+                     "clips_per_sec_per_chip": self.meter.clips_per_sec_per_chip},
+                    step=global_step,
+                )
+                if i % cfg.cb_freq == 0:
+                    print(f"epoch {e} step {i}/{cfg.steps_per_epoch} "
+                          f"loss {last_metrics.get('loss', float('nan')):.6f} "
+                          f"mode {self.mode} "
+                          f"{self.meter.clips_per_sec_per_chip:.2f} clips/s/chip")
+                if cfg.cp_freq and global_step % cfg.cp_freq == 0 and not cfg.no_save:
+                    save_checkpoint(cfg.cp_dir, self.run_name, self.state, e,
+                                    last_metrics.get("loss", 0.0))
+
+            val_loss = None
+            if self.eval_fn is not None and val_batches is not None and cfg.val_steps > 0:
+                vals = []
+                for _ in range(cfg.val_steps):
+                    vmetrics = self.eval_fn(
+                        self.state, next(val_batches), self._next_rng(),
+                        jnp.int32(self.mode),
+                    )
+                    vals.append(float(vmetrics["loss"]))
+                val_loss = float(np.mean(vals))
+                self.logger.log({"val_loss": val_loss, "epoch": e}, step=global_step)
+                print(f"epoch {e} val_loss {val_loss:.6f}")
+
+            if not cfg.no_save:
+                if self.checkpoint_policy == "epoch":
+                    save_checkpoint(cfg.cp_dir, self.run_name, self.state, e,
+                                    last_metrics.get("loss", 0.0))
+                elif self.checkpoint_policy == "best" and val_loss is not None:
+                    if val_loss < best_val:
+                        best_val = val_loss
+                        save_checkpoint(cfg.cp_dir, self.run_name, self.state,
+                                        e, val_loss)
+
+            self._advance_mode()
+        return self.state

@@ -1,0 +1,50 @@
+#!/usr/bin/env python
+"""STFT autoencoder pretraining on random audio crops.
+
+Entry-point parity with the reference's `train_autoencoder.py`: STFT_Dataset
+random crops (av_dataset.py:381-491) -> denoising STFT AE via
+`audio_ae_forward` (train_autoencoder.py:105) — the minimal end-to-end config
+(SURVEY.md §7.2 step 2, BASELINE.json config #1).
+"""
+
+from __future__ import annotations
+
+from maavss_tpu.config import RunConfig, model_args
+from maavss_tpu.data.dataset import STFTDataset, batches, prefetch
+from maavss_tpu.exp.checkpoint import save_model
+from maavss_tpu.parallel.mesh import shard_batch
+from maavss_tpu.train.setup import init_runtime, build_fusion, default_mesh, load_stores, run_name
+from maavss_tpu.train.steps import make_audio_ae_eval, make_audio_ae_step
+from maavss_tpu.train.trainer import Trainer
+
+
+def train(config: RunConfig = None):
+    cfg = config or model_args()
+    init_runtime()
+    _, audio = load_stores(cfg)
+    dataset = STFTDataset(cfg, audio, seed=cfg.seed)
+    mesh = default_mesh(cfg)
+
+    def stream(seed):
+        it = batches(dataset, cfg.batch_size, seed=seed)
+        if mesh is not None:
+            it = (shard_batch(mesh, b) for b in it)
+        return prefetch(it)
+
+    model, state = build_fusion(cfg, cfg.batch_size)
+    step = make_audio_ae_step(model, cfg, mesh=mesh)
+    eval_fn = make_audio_ae_eval(model, cfg)
+    name = run_name("stft-ae", cfg)
+    import jax
+
+    trainer = Trainer(cfg, step, state, run_name=name, eval_fn=eval_fn,
+                      mode_schedule="fixed", fixed_mode=0,
+                      checkpoint_policy="epoch", n_chips=len(jax.devices()))
+    state = trainer.fit(stream(cfg.seed), stream(cfg.seed + 1))
+    if not cfg.no_save:
+        save_model(f"saved_models/{name}", state.params)
+    return state
+
+
+if __name__ == "__main__":
+    train()

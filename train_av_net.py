@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""Staged AV training: fusion subnets only, autoencoders frozen.
+
+Entry-point parity with the reference's `train_av_net.py`: identical fusion
+objective, but encoder/decoder gradients are disabled (train_av_net.py:73-75
+via the model grad toggles, avse_model.py:630-656) — here an optax-masked
+optimizer (maavss_tpu/train/state.py) — with live validation and best-val
+checkpointing (train_av_net.py:147-195).
+
+`--saved_model` restores pretrained AE params before the stage begins.
+"""
+
+from __future__ import annotations
+
+from maavss_tpu.config import RunConfig, model_args
+from maavss_tpu.data.dataset import AVDataset, Subset, batches, prefetch, split_train_val
+from maavss_tpu.exp.checkpoint import load_model
+from maavss_tpu.parallel.mesh import shard_batch
+from maavss_tpu.train.setup import (
+    FUSION_SUBNETS, build_fusion, default_mesh, init_runtime, load_stores, run_name,
+)
+from maavss_tpu.train.steps import make_fusion_eval, make_fusion_step
+from maavss_tpu.train.trainer import Trainer
+
+
+def train(config: RunConfig = None):
+    cfg = config or model_args()
+    init_runtime()
+    frames, audio = load_stores(cfg)
+    dataset = AVDataset(cfg, frames, audio, cfg.num_frames + cfg.num_seq)
+    tr_idx, va_idx = split_train_val(len(dataset), cfg.split, cfg.seed)
+    mesh = default_mesh(cfg)
+
+    def stream(subset, seed):
+        it = batches(subset, cfg.batch_size, seed=seed)
+        if mesh is not None:
+            it = (shard_batch(mesh, b) for b in it)
+        return prefetch(it)
+
+    model, state = build_fusion(cfg, cfg.batch_size, trainable=FUSION_SUBNETS)
+    if cfg.saved_model:
+        state = state.replace(params=load_model(cfg.saved_model, state.params))
+    step = make_fusion_step(model, cfg, mesh=mesh)
+    eval_fn = make_fusion_eval(model, cfg, mesh=mesh)
+    import jax
+
+    trainer = Trainer(cfg, step, state, run_name=run_name("av-net", cfg),
+                      eval_fn=eval_fn, mode_schedule="fixed", fixed_mode=2,
+                      checkpoint_policy="best", n_chips=len(jax.devices()))
+    return trainer.fit(stream(Subset(dataset, tr_idx), cfg.seed),
+                       stream(Subset(dataset, va_idx), cfg.seed + 1))
+
+
+if __name__ == "__main__":
+    train()
