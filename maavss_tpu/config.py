@@ -75,6 +75,7 @@ class RunConfig:
     dtype: str = "float32"  # compute dtype for model math ("bfloat16" on TPU)
     log_dir: str = "runs/"
     wandb: bool = False  # reference logs unconditionally; here opt-in
+    native_loader: bool = False  # C++ batch assembly (native/dataloader.cc)
 
     # ---- derived AV-alignment quantities ----
     @property
@@ -180,6 +181,8 @@ def build_parser(parser: Optional[argparse.ArgumentParser] = None) -> argparse.A
     p.add_argument("--dtype", type=str, default="float32")
     p.add_argument("--log_dir", type=str, default="runs/")
     p.add_argument("--wandb", action="store_true")
+    p.add_argument("--native_loader", action="store_true",
+                   help="assemble batches with the C++ loader (native/)")
     return p
 
 

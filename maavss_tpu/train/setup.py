@@ -119,6 +119,30 @@ def build_frames_model(cfg: RunConfig, batch_size: int, frame_size: int,
     return model, create_train_state(variables, tx)
 
 
+def make_stream(cfg: RunConfig, dataset, indices=None, mesh=None, seed: int = 0):
+    """Batch stream for a train/val split: the C++ loader when requested and
+    applicable (AV datasets), else the Python pipeline with thread prefetch.
+    Shards each batch over the mesh when one is given."""
+    from maavss_tpu.data.dataset import AVDataset, Subset, batches, prefetch
+    from maavss_tpu.parallel.mesh import shard_batch
+
+    it = None
+    if cfg.native_loader and isinstance(dataset, AVDataset) and dataset.mode == "av":
+        try:
+            from maavss_tpu.data.native_loader import NativeAVLoader
+
+            it = iter(NativeAVLoader(dataset, cfg.batch_size, seed=seed,
+                                     clip_indices=indices))
+        except (RuntimeError, OSError) as e:
+            print(f"native loader unavailable ({e}); using Python pipeline")
+    if it is None:
+        ds = dataset if indices is None else Subset(dataset, indices)
+        it = prefetch(batches(ds, cfg.batch_size, seed=seed))
+    if mesh is not None:
+        it = (shard_batch(mesh, b) for b in it)
+    return it
+
+
 def run_name(prefix: str, cfg: RunConfig) -> str:
     import time
 

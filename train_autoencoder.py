@@ -10,10 +10,9 @@ random crops (av_dataset.py:381-491) -> denoising STFT AE via
 from __future__ import annotations
 
 from maavss_tpu.config import RunConfig, model_args
-from maavss_tpu.data.dataset import STFTDataset, batches, prefetch
+from maavss_tpu.data.dataset import STFTDataset
 from maavss_tpu.exp.checkpoint import save_model
-from maavss_tpu.parallel.mesh import shard_batch
-from maavss_tpu.train.setup import init_runtime, build_fusion, default_mesh, load_stores, run_name
+from maavss_tpu.train.setup import make_stream, init_runtime, build_fusion, default_mesh, load_stores, run_name
 from maavss_tpu.train.steps import make_audio_ae_eval, make_audio_ae_step
 from maavss_tpu.train.trainer import Trainer
 
@@ -25,11 +24,6 @@ def train(config: RunConfig = None):
     dataset = STFTDataset(cfg, audio, seed=cfg.seed)
     mesh = default_mesh(cfg)
 
-    def stream(seed):
-        it = batches(dataset, cfg.batch_size, seed=seed)
-        if mesh is not None:
-            it = (shard_batch(mesh, b) for b in it)
-        return prefetch(it)
 
     model, state = build_fusion(cfg, cfg.batch_size)
     step = make_audio_ae_step(model, cfg, mesh=mesh)
@@ -40,7 +34,8 @@ def train(config: RunConfig = None):
     trainer = Trainer(cfg, step, state, run_name=name, eval_fn=eval_fn,
                       mode_schedule="fixed", fixed_mode=0,
                       checkpoint_policy="epoch", n_chips=len(jax.devices()))
-    state = trainer.fit(stream(cfg.seed), stream(cfg.seed + 1))
+    state = trainer.fit(make_stream(cfg, dataset, None, mesh, cfg.seed),
+                        make_stream(cfg, dataset, None, mesh, cfg.seed + 1))
     if not cfg.no_save:
         save_model(f"saved_models/{name}", state.params)
     return state

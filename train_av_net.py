@@ -13,11 +13,11 @@ checkpointing (train_av_net.py:147-195).
 from __future__ import annotations
 
 from maavss_tpu.config import RunConfig, model_args
-from maavss_tpu.data.dataset import AVDataset, Subset, batches, prefetch, split_train_val
+from maavss_tpu.data.dataset import AVDataset, split_train_val
 from maavss_tpu.exp.checkpoint import load_model
-from maavss_tpu.parallel.mesh import shard_batch
 from maavss_tpu.train.setup import (
-    FUSION_SUBNETS, build_fusion, default_mesh, init_runtime, load_stores, run_name,
+    FUSION_SUBNETS, build_fusion, default_mesh, init_runtime, load_stores,
+    make_stream, run_name,
 )
 from maavss_tpu.train.steps import make_fusion_eval, make_fusion_step
 from maavss_tpu.train.trainer import Trainer
@@ -31,11 +31,6 @@ def train(config: RunConfig = None):
     tr_idx, va_idx = split_train_val(len(dataset), cfg.split, cfg.seed)
     mesh = default_mesh(cfg)
 
-    def stream(subset, seed):
-        it = batches(subset, cfg.batch_size, seed=seed)
-        if mesh is not None:
-            it = (shard_batch(mesh, b) for b in it)
-        return prefetch(it)
 
     model, state = build_fusion(cfg, cfg.batch_size, trainable=FUSION_SUBNETS)
     if cfg.saved_model:
@@ -47,8 +42,8 @@ def train(config: RunConfig = None):
     trainer = Trainer(cfg, step, state, run_name=run_name("av-net", cfg),
                       eval_fn=eval_fn, mode_schedule="fixed", fixed_mode=2,
                       checkpoint_policy="best", n_chips=len(jax.devices()))
-    return trainer.fit(stream(Subset(dataset, tr_idx), cfg.seed),
-                       stream(Subset(dataset, va_idx), cfg.seed + 1))
+    return trainer.fit(make_stream(cfg, dataset, tr_idx, mesh, cfg.seed),
+                       make_stream(cfg, dataset, va_idx, mesh, cfg.seed + 1))
 
 
 if __name__ == "__main__":

@@ -14,10 +14,9 @@ Callable as `train()` for sweeps (sweep_params.py:29-30).
 from __future__ import annotations
 
 from maavss_tpu.config import RunConfig, model_args
-from maavss_tpu.data.dataset import AVDataset, Subset, batches, prefetch, split_train_val
+from maavss_tpu.data.dataset import AVDataset, split_train_val
 from maavss_tpu.exp.checkpoint import save_model
-from maavss_tpu.parallel.mesh import shard_batch
-from maavss_tpu.train.setup import init_runtime, build_frames_model, default_mesh, load_stores, run_name
+from maavss_tpu.train.setup import make_stream, init_runtime, build_frames_model, default_mesh, load_stores, run_name
 from maavss_tpu.train.steps import make_frames_step
 from maavss_tpu.train.trainer import Trainer
 
@@ -31,11 +30,6 @@ def train(config: RunConfig = None):
     tr_idx, va_idx = split_train_val(len(dataset), cfg.split, cfg.seed)
     mesh = default_mesh(cfg)
 
-    def stream(subset, seed):
-        it = batches(subset, cfg.batch_size, seed=seed)
-        if mesh is not None:
-            it = (shard_batch(mesh, b) for b in it)
-        return prefetch(it)
 
     frame_size = dataset[0]["frames"].shape[-1]
     model, state = build_frames_model(cfg, cfg.batch_size, frame_size)
@@ -46,8 +40,8 @@ def train(config: RunConfig = None):
     trainer = Trainer(cfg, step, state, run_name=name,
                       mode_schedule="random01", fixed_mode=2,
                       checkpoint_policy="epoch", n_chips=len(jax.devices()))
-    state = trainer.fit(stream(Subset(dataset, tr_idx), cfg.seed),
-                        stream(Subset(dataset, va_idx), cfg.seed + 1))
+    state = trainer.fit(make_stream(cfg, dataset, tr_idx, mesh, cfg.seed),
+                        make_stream(cfg, dataset, va_idx, mesh, cfg.seed + 1))
     if not cfg.no_save:
         save_model(f"saved_models/{name}", state.params)
     return state

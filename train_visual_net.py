@@ -9,9 +9,8 @@ gen_stft=False (frames only), phasegram_autoencoder training
 from __future__ import annotations
 
 from maavss_tpu.config import RunConfig, model_args
-from maavss_tpu.data.dataset import Subset, VideoDataset, batches, prefetch, split_train_val
-from maavss_tpu.parallel.mesh import shard_batch
-from maavss_tpu.train.setup import init_runtime, build_fusion, default_mesh, load_stores, run_name
+from maavss_tpu.data.dataset import VideoDataset, split_train_val
+from maavss_tpu.train.setup import make_stream, init_runtime, build_fusion, default_mesh, load_stores, run_name
 from maavss_tpu.train.steps import make_visual_ae_eval, make_visual_ae_step
 from maavss_tpu.train.trainer import Trainer
 
@@ -24,11 +23,6 @@ def train(config: RunConfig = None):
     tr_idx, va_idx = split_train_val(len(dataset), cfg.split, cfg.seed)
     mesh = default_mesh(cfg)
 
-    def stream(subset, seed):
-        it = batches(subset, cfg.batch_size, seed=seed)
-        if mesh is not None:
-            it = (shard_batch(mesh, b) for b in it)
-        return prefetch(it)
 
     model, state = build_fusion(cfg, cfg.batch_size)
     step = make_visual_ae_step(model, cfg, mesh=mesh)
@@ -38,8 +32,8 @@ def train(config: RunConfig = None):
     trainer = Trainer(cfg, step, state, run_name=run_name("visual-net", cfg),
                       eval_fn=eval_fn, mode_schedule="fixed", fixed_mode=1,
                       checkpoint_policy="best", n_chips=len(jax.devices()))
-    return trainer.fit(stream(Subset(dataset, tr_idx), cfg.seed),
-                       stream(Subset(dataset, va_idx), cfg.seed + 1))
+    return trainer.fit(make_stream(cfg, dataset, tr_idx, mesh, cfg.seed),
+                       make_stream(cfg, dataset, va_idx, mesh, cfg.seed + 1))
 
 
 if __name__ == "__main__":
