@@ -27,6 +27,55 @@ import jax.numpy as jnp
 from maavss_tpu.ops.image import resize_bilinear
 
 
+@partial(jax.jit, static_argnames=("resize", "cumulative"))
+def phasegram_cumsum(
+    frames: jnp.ndarray,
+    resize: Optional[Tuple[int, int]] = None,
+    cumulative: bool = True,
+) -> jnp.ndarray:
+    """Per-frame half of the phasegram: frames `[B, T, H, W]` ->
+    cumsum-normalized phase rows `[B, T, H*W]`.
+
+    This is everything in `video_phasegram` up to (and excluding) the
+    temporal diff — purely per-frame, so sliding windows can share it: the
+    train step computes it ONCE for the whole `num_frames + num_seq` clip and
+    each window applies only diff + max-norm (`phasegram_window`), instead of
+    re-running fft2 on the ~num_frames/1 overlapping frames of every window
+    (the reference recomputes from scratch per window, train.py:139).
+    """
+    if frames.ndim == 5:
+        frames = jnp.squeeze(frames, 1)
+    if resize is not None:
+        frames = resize_bilinear(frames, resize)
+    fft = jnp.fft.fft2(frames)
+    fft = jnp.fft.fftshift(fft, axes=(-2, -1))
+    p = jnp.angle(fft)
+    p_flat = p.reshape(p.shape[:-2] + (-1,))
+    if cumulative:
+        p_flat = jnp.cumsum(p_flat, axis=-1)
+        p_flat = p_flat / (2.0 * jnp.pi * p_flat.shape[-1])
+    else:
+        p_flat = (p_flat + jnp.pi) / (2.0 * jnp.pi)
+    return p_flat
+
+
+def phasegram_window(p_flat: jnp.ndarray, diff: bool = True,
+                     normalize: bool = True) -> jnp.ndarray:
+    """Finish a phasegram from cumsum rows `[B, T, S]` -> `[B, 1, T, S]`:
+    temporal diff (zero-padded first frame) + global max-abs normalization.
+    `video_phasegram(w) == phasegram_window(phasegram_cumsum(w))` exactly."""
+    if diff:
+        p_diff = jnp.diff(p_flat, axis=-2)
+        pad = jnp.zeros_like(p_diff[..., 0:1, :])
+        pg = jnp.concatenate([pad, p_diff], axis=-2)
+    else:
+        pg = p_flat
+    pg = pg[..., None, :, :]
+    if normalize:
+        pg = pg * (1.0 / jnp.max(jnp.abs(pg)))
+    return pg
+
+
 @partial(jax.jit, static_argnames=("resize", "diff", "cumulative", "normalize"))
 def video_phasegram(
     frames: jnp.ndarray,

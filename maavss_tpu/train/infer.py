@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from maavss_tpu.config import RunConfig
 from maavss_tpu.ops.metrics import si_sdr
-from maavss_tpu.ops.phasegram import video_phasegram
+from maavss_tpu.ops.phasegram import phasegram_cumsum, phasegram_window
 from maavss_tpu.ops.stft import istft_features, stft_features
 from maavss_tpu.train.state import TrainState
 
@@ -40,6 +40,7 @@ def make_separator(model, cfg: RunConfig):
         x_full = y_full + jax.random.normal(rng, y_full.shape, y_full.dtype) * cfg.noise_scalar
         frames = batch["frames"]
         resize = None if frames.shape[-1] == cfg.p_size else (cfg.p_size, cfg.p_size)
+        p_flat = phasegram_cumsum(frames, resize=resize)
 
         t_total = y_full.shape[2]
         acc = jnp.zeros_like(y_full)
@@ -47,8 +48,8 @@ def make_separator(model, cfg: RunConfig):
 
         def body(carry, j):
             acc, cnt = carry
-            fr = jax.lax.dynamic_slice_in_dim(frames, j, nf, axis=1)
-            pg = video_phasegram(fr, resize=resize)
+            pw = jax.lax.dynamic_slice_in_dim(p_flat, j, nf, axis=1)
+            pg = phasegram_window(pw)
             xs = jax.lax.dynamic_slice_in_dim(x_full, j * a, nf * a, axis=2)
             yh, _, _ = model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},

@@ -32,7 +32,11 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from maavss_tpu.config import RunConfig
-from maavss_tpu.ops.phasegram import video_phasegram
+from maavss_tpu.ops.phasegram import (
+    phasegram_cumsum,
+    phasegram_window,
+    video_phasegram,
+)
 from maavss_tpu.ops.stft import stft_features
 from maavss_tpu.parallel.mesh import DATA_AXIS
 from maavss_tpu.train.state import TrainState
@@ -134,11 +138,14 @@ def make_fusion_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None):
 
         # shards may store frames above phasegram resolution; resize on device
         resize = None if frames.shape[-1] == cfg.p_size else (cfg.p_size, cfg.p_size)
+        # per-frame phase rows computed ONCE for the whole clip; windows share
+        # their overlapping frames' fft2 (diff + norm stay per-window,
+        # train.py:139 parity — see phasegram_cumsum)
+        p_flat = phasegram_cumsum(frames, resize=resize)
 
         def window_loss(params, bstats, j):
-            fr = jax.lax.dynamic_slice_in_dim(frames, j, nf, axis=1)
-            # per-window phasegram normalization, like train.py:139
-            y_pg = video_phasegram(fr, resize=resize)
+            pw = jax.lax.dynamic_slice_in_dim(p_flat, j, nf, axis=1)
+            y_pg = phasegram_window(pw)
             xs = jax.lax.dynamic_slice_in_dim(x_full, j * a, nf * a, axis=2)
             ys = jax.lax.dynamic_slice_in_dim(y_full, j * a, nf * a, axis=2)
             (yh_a, yh_v, _), mut = model.apply(
@@ -259,10 +266,11 @@ def make_fusion_eval(model, cfg: RunConfig, mesh: Optional[Mesh] = None):
         v_mask = jnp.where(mode == 0, 0.0, 1.0)
 
         resize = None if frames.shape[-1] == cfg.p_size else (cfg.p_size, cfg.p_size)
+        p_flat = phasegram_cumsum(frames, resize=resize)
 
         def window(j):
-            fr = jax.lax.dynamic_slice_in_dim(frames, j, nf, axis=1)
-            y_pg = video_phasegram(fr, resize=resize)
+            pw = jax.lax.dynamic_slice_in_dim(p_flat, j, nf, axis=1)
+            y_pg = phasegram_window(pw)
             xs = jax.lax.dynamic_slice_in_dim(x_full, j * a, nf * a, axis=2)
             ys = jax.lax.dynamic_slice_in_dim(y_full, j * a, nf * a, axis=2)
             yh_a, yh_v, _ = model.apply(

@@ -70,3 +70,22 @@ def test_phasegram_resize_shape():
 def test_phasegram_first_frame_zero():
     pg = np.asarray(video_phasegram(jnp.asarray(_frames())))
     assert np.all(pg[:, :, 0, :] == 0.0)
+
+
+def test_windowed_equals_per_window():
+    """phasegram_window(phasegram_cumsum(clip)[:, j:j+nf]) must equal
+    video_phasegram(clip[:, j:j+nf]) exactly — the train-step hoist that
+    shares overlapping windows' fft2 is a pure refactor."""
+    import numpy as np
+    import jax.numpy as jnp
+    from maavss_tpu.ops.phasegram import (
+        phasegram_cumsum, phasegram_window, video_phasegram)
+
+    frames = jnp.asarray(
+        np.random.default_rng(0).random((2, 8, 16, 16)).astype(np.float32))
+    p_flat = phasegram_cumsum(frames)
+    for j in range(4):
+        hoisted = phasegram_window(p_flat[:, j:j + 4])
+        direct = video_phasegram(frames[:, j:j + 4])
+        np.testing.assert_allclose(np.asarray(hoisted), np.asarray(direct),
+                                   rtol=1e-6, atol=1e-7)

@@ -88,6 +88,31 @@ class TestFusionStep:
         assert losses[-1] < losses[0] * 0.7, losses
 
 
+class TestBF16:
+    def test_fusion_step_bf16_trains(self):
+        """bfloat16 compute path (params stay fp32): step runs, loss finite
+        and decreasing — the bench's production dtype."""
+        cfg = CFG.replace(dtype="bfloat16")
+        t_stft = cfg.hops_per_frame * cfg.num_frames
+        model = AVFusionModel(
+            stft_shape=(4, 2, t_stft, cfg.fft_len // 2),
+            pgram_shape=(4, 1, cfg.num_frames, cfg.p_size**2),
+            latent_channels=cfg.latent_chan, fc_size=cfg.fc_size,
+            dtype=jnp.bfloat16)
+        xa = jnp.zeros(model.stft_shape)
+        xv = jnp.zeros(model.pgram_shape)
+        variables = model.init(jax.random.PRNGKey(0), xa, xv, method=model.init_all)
+        assert variables["params"]["fc1"]["kernel"].dtype == jnp.float32
+        state = create_train_state(variables, make_optimizer(3e-3))
+        step = make_fusion_step(model, cfg)
+        batch = synthetic_av_batch(cfg, 4, seed=0)
+        losses = []
+        for i in range(8):
+            state, metrics = step(state, batch, jax.random.PRNGKey(1), jnp.int32(2))
+            losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses[-1]) and losses[-1] < losses[0], losses
+
+
 class TestStagedTraining:
     def test_masked_optimizer_freezes_aes(self):
         """train_av_net regime: only fusion subnets receive updates."""
