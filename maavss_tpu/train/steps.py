@@ -164,6 +164,52 @@ def make_fusion_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None):
     return _jit_step(step, mesh, batch_spec)
 
 
+def make_fusion_middle_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None):
+    """Fusion model with the middle-frame objective (experiments/train.py:
+    148-181): each window's loss compares only the middle frame's
+    `hops_per_frame` STFT columns and its single phasegram row.
+
+    The reference's experiment model emits middle-sized heads; here the
+    standard AVFusionModel predicts the full window and the loss slices its
+    middle — same objective, one model family (functional equivalent,
+    documented deviation)."""
+    a, nf, ns = cfg.hops_per_frame, cfg.num_frames, cfg.num_seq
+    coeff = cfg.loss_coeff
+    idx_middle = (ns - 1) // 2
+
+    def step(state: TrainState, batch, rng: jax.Array, mode: jnp.ndarray):
+        mode = jnp.asarray(mode)
+        x_full, y_full = _prep_stft_pair(
+            batch["audio"], cfg, rng, trim_end=True, max_norm=cfg.normalize_output_fft
+        )
+        frames = batch["frames"]
+        a_mask = jnp.where(mode == 1, 0.0, 1.0)
+        v_mask = jnp.where(mode == 0, 0.0, 1.0)
+        resize = None if frames.shape[-1] == cfg.p_size else (cfg.p_size, cfg.p_size)
+        p_flat = phasegram_cumsum(frames, resize=resize)
+        mid_lo, mid_hi = idx_middle * a, (idx_middle + 1) * a
+
+        def window_loss(params, bstats, j):
+            pw = jax.lax.dynamic_slice_in_dim(p_flat, j, nf, axis=1)
+            y_pg = phasegram_window(pw)
+            xs = jax.lax.dynamic_slice_in_dim(x_full, j * a, nf * a, axis=2)
+            ys_mid = jax.lax.dynamic_slice_in_dim(
+                y_full, j * a + mid_lo, a, axis=2)
+            (yh_a, yh_v, _), mut = model.apply(
+                {"params": params, "batch_stats": bstats},
+                xs * a_mask, y_pg * v_mask, train=True, mutable=["batch_stats"],
+            )
+            a_loss = mse(yh_a[:, :, mid_lo:mid_hi], ys_mid)
+            v_loss = mse(yh_v[:, :, idx_middle], y_pg[:, :, idx_middle])
+            loss = a_loss + coeff * v_loss
+            return loss / ns, (mut["batch_stats"],
+                               {"loss": loss, "a_loss": a_loss, "v_loss": v_loss})
+
+        return _accumulate(window_loss, state, ns)
+
+    return _jit_step(step, mesh, {"audio": 0, "frames": 0})
+
+
 # ---------------------------------------------------------------------------
 # Frames model — middle-frame objective (train_avse_frames.py regime)
 # ---------------------------------------------------------------------------

@@ -23,6 +23,7 @@ from maavss_tpu.train.state import create_train_state, make_optimizer
 from maavss_tpu.train.steps import (
     make_audio_ae_step,
     make_frames_step,
+    make_fusion_middle_step,
     make_fusion_step,
     make_visual_ae_step,
 )
@@ -86,6 +87,19 @@ class TestFusionStep:
             state, metrics = step(state, batch, jax.random.PRNGKey(42), jnp.int32(2))
             losses.append(float(metrics["loss"]))
         assert losses[-1] < losses[0] * 0.7, losses
+
+
+class TestFusionMiddleStep:
+    def test_runs_all_modes(self):
+        """experiments/train.py regime: middle-frame objective on the
+        phasegram fusion model."""
+        model, state = fusion_model_and_state(CFG, 4, lr=1e-3)
+        step = make_fusion_middle_step(model, CFG)
+        batch = synthetic_av_batch(CFG, 4, seed=2)
+        for mode in (2, 0, 1):
+            state, metrics = step(state, batch, jax.random.PRNGKey(0),
+                                  jnp.int32(mode))
+            assert np.isfinite(float(metrics["loss"]))
 
 
 class TestBF16:
