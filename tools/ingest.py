@@ -34,6 +34,35 @@ import numpy as np
 REJECT_DIR = "rejected"
 VIDEO_EXTS = (".mp4", ".mkv", ".webm", ".avi", ".mov")
 
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                           "native")
+_NATIVE_BIN = os.path.join(_NATIVE_DIR, "ingest_native")
+
+
+def native_bin():
+    """Path to the libav-linked ingest tool (native/ingest.cc), building it
+    on demand; None when neither the binary nor a compiler is available."""
+    if os.path.exists(_NATIVE_BIN):
+        return _NATIVE_BIN
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR, "ingest_native"],
+                       check=True, capture_output=True, timeout=120)
+    except (subprocess.SubprocessError, OSError):
+        return None
+    return _NATIVE_BIN if os.path.exists(_NATIVE_BIN) else None
+
+
+def native_ingest_one(video: str, frames_npy: str, wav_out: str,
+                      framesize: int, fps: int, sr: int) -> dict:
+    """One video through the native decoder; returns its JSON metadata."""
+    out = subprocess.run(
+        [native_bin(), "ingest", video, frames_npy, wav_out,
+         str(framesize), str(fps), str(sr)],
+        capture_output=True, text=True, timeout=1800)
+    if out.returncode != 0:
+        raise RuntimeError(out.stderr.strip()[:200])
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
 
 def ffprobe_info(path: str) -> dict:
     out = subprocess.run(
@@ -88,23 +117,38 @@ def ingest_tree(data_path: str, out_path: str, framesize: int, fps: int,
                 videos.append(os.path.join(root, f))
     print(f"ingesting {len(videos)} videos from {data_path}")
 
+    use_native = native_bin() is not None
+    print(f"decode backend: {'native libav (native/ingest_native)' if use_native else 'ffmpeg subprocess'}")
+
     wavs = []
     for v in videos:
         vid = os.path.splitext(os.path.basename(v))[0]
         try:
-            streams = ffprobe_info(v)
-            if "audio" not in streams:  # quarantine (extract_audio.py:15-19)
-                os.makedirs(reject_dir, exist_ok=True)
-                shutil.copy2(v, reject_dir)
-                print(f"reject (no audio): {v}")
-                continue
             wav = os.path.join(audio_dir, f"{vid}.wav")
-            if not os.path.exists(wav):
-                extract_audio(v, wav, sr)
-            frames = decode_frames(v, framesize, fps)
-            if len(frames) == 0:
-                raise RuntimeError("decoded 0 frames")
-            write_frame_shard(frames_dir, vid, frames, fps, source=v)
+            if use_native:
+                import numpy as np
+
+                tmp_npy = os.path.join(audio_dir, f".{vid}.frames.npy")
+                meta = native_ingest_one(v, tmp_npy, wav, framesize, fps, sr)
+                if not meta.get("has_audio") or meta.get("audio_samples", 0) == 0:
+                    os.remove(tmp_npy)
+                    os.remove(wav)
+                    raise RuntimeError("no audio stream")
+                frames = np.load(tmp_npy, mmap_mode="r")
+                if len(frames) == 0:
+                    raise RuntimeError("decoded 0 frames")
+                write_frame_shard(frames_dir, vid, np.asarray(frames), fps, source=v)
+                os.remove(tmp_npy)
+            else:
+                streams = ffprobe_info(v)
+                if "audio" not in streams:  # quarantine (extract_audio.py:15-19)
+                    raise RuntimeError("no audio stream")
+                if not os.path.exists(wav):
+                    extract_audio(v, wav, sr)
+                frames = decode_frames(v, framesize, fps)
+                if len(frames) == 0:
+                    raise RuntimeError("decoded 0 frames")
+                write_frame_shard(frames_dir, vid, frames, fps, source=v)
             wavs.append(wav)
             print(f"ok: {vid} ({len(frames)} frames)")
         except Exception as e:
@@ -127,9 +171,10 @@ def main() -> None:
     p.add_argument("--framerate", type=int, default=30)
     p.add_argument("--samplerate", type=int, default=16000)
     args = p.parse_args()
-    if shutil.which("ffmpeg") is None:
-        raise SystemExit("ffmpeg not found on PATH — ingest requires it "
-                         "(training itself does not)")
+    if native_bin() is None and shutil.which("ffmpeg") is None:
+        raise SystemExit("no decode backend: build native/ingest_native "
+                         "(needs libav dev libs + g++) or install ffmpeg — "
+                         "training itself needs neither")
     ingest_tree(args.data_path, args.out_path, args.framesize,
                 args.framerate, args.samplerate)
 
