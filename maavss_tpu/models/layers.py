@@ -100,12 +100,18 @@ class ConvStack(nn.Module):
 
 
 class LSTM(nn.Module):
-    """Unidirectional LSTM over [B, T, D] -> [B, T, H] via lax.scan."""
+    """Unidirectional LSTM over [B, T, D] -> [B, T, H] via lax.scan.
+
+    `unroll` is exposed as a tuning knob; measured on v5e, unroll=4 was
+    SLOWER than 1 (2.62 vs 1.77 ms/step for the fusion step at bf16/b128 —
+    the unrolled body bloats the program without helping the MXU), so the
+    default stays 1."""
 
     hidden: int
     use_bias: bool = False
     dtype: jnp.dtype = jnp.float32
     reverse: bool = False
+    unroll: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -143,7 +149,8 @@ class LSTM(nn.Module):
             hs = o * jnp.tanh(cs)
             return (hs, cs), hs
 
-        _, ys = jax.lax.scan(step, init, jnp.swapaxes(xw, 0, 1))
+        _, ys = jax.lax.scan(step, init, jnp.swapaxes(xw, 0, 1),
+                             unroll=self.unroll)
         ys = jnp.swapaxes(ys, 0, 1)
         if self.reverse:
             ys = jnp.flip(ys, axis=1)
@@ -160,9 +167,12 @@ class BiLSTM(nn.Module):
     hidden: int
     use_bias: bool = False
     dtype: jnp.dtype = jnp.float32
+    unroll: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        fwd = LSTM(self.hidden, self.use_bias, self.dtype, reverse=False, name="fwd")(x)
-        bwd = LSTM(self.hidden, self.use_bias, self.dtype, reverse=True, name="bwd")(x)
+        fwd = LSTM(self.hidden, self.use_bias, self.dtype, reverse=False,
+                   unroll=self.unroll, name="fwd")(x)
+        bwd = LSTM(self.hidden, self.use_bias, self.dtype, reverse=True,
+                   unroll=self.unroll, name="bwd")(x)
         return jnp.concatenate([fwd, bwd], axis=-1)

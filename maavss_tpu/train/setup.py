@@ -143,6 +143,38 @@ def make_stream(cfg: RunConfig, dataset, indices=None, mesh=None, seed: int = 0)
     return it
 
 
+def make_fusion_media_fn(model, cfg: RunConfig, out_dir: str):
+    """Build a Trainer media callback for the fusion regime: separates the
+    first clip of the current batch and writes STFT target/output panels +
+    input/separated wavs (the reference's wandb media set, train.py:170-178).
+
+    Opt-in (MAAVSS_MEDIA=1 in the entry scripts): the separator is an extra
+    compiled program."""
+    import numpy as np
+
+    from maavss_tpu.exp.viz import save_audio, save_image, stft_pair_image
+    from maavss_tpu.ops.stft import stft_features
+    from maavss_tpu.train.infer import make_separator
+
+    separate = make_separator(model, cfg)
+
+    def media(state, batch, rng, step):
+        one = jax.tree_util.tree_map(lambda x: np.asarray(x)[:1], batch)
+        out = separate(state, one, rng)
+        y = stft_features(jnp.asarray(one["audio"]), cfg.fft_len, cfg.hop,
+                          normalized=cfg.normalize_fft, polar=cfg.use_polar)
+        yh = stft_features(out["audio_out"], cfg.fft_len, cfg.hop,
+                           normalized=cfg.normalize_fft, polar=cfg.use_polar)
+        save_image(os.path.join(out_dir, f"stft_{step:07d}.png"),
+                   stft_pair_image(np.asarray(y[0]), np.asarray(yh[0])))
+        save_audio(os.path.join(out_dir, f"audio_in_{step:07d}.wav"),
+                   np.asarray(one["audio"][0]), cfg.samplerate)
+        save_audio(os.path.join(out_dir, f"audio_out_{step:07d}.wav"),
+                   np.asarray(out["audio_out"][0]), cfg.samplerate)
+
+    return media
+
+
 def run_name(prefix: str, cfg: RunConfig) -> str:
     import time
 

@@ -47,7 +47,11 @@ class Trainer:
         checkpoint_policy: str = "epoch",  # epoch | best | none
         n_chips: int = 1,
         logger: Optional[MetricsLogger] = None,
+        media_fn: Optional[Callable] = None,
     ):
+        # media_fn(state, batch, rng, global_step) -> None renders the
+        # reference's per-cb_freq rich media (STFT panels, phasegrams,
+        # resynthesized audio — train.py:170-178) into the run directory
         self.cfg = cfg
         self.step_fn = step_fn
         self.state = state
@@ -55,6 +59,7 @@ class Trainer:
         self.run_name = run_name
         self.mode_schedule = mode_schedule
         self.checkpoint_policy = checkpoint_policy
+        self.media_fn = media_fn
         self.mode = 0 if mode_schedule == "cycle" else fixed_mode
         self.logger = logger or MetricsLogger(
             cfg.log_dir, run_name, use_wandb=cfg.wandb,
@@ -112,6 +117,12 @@ class Trainer:
                           f"loss {last_metrics.get('loss', float('nan')):.6f} "
                           f"mode {self.mode} "
                           f"{self.meter.clips_per_sec_per_chip:.2f} clips/s/chip")
+                    if self.media_fn is not None:
+                        try:
+                            self.media_fn(self.state, batch, self._next_rng(),
+                                          global_step)
+                        except Exception as err:  # media must never kill a run
+                            print(f"media callback failed: {err}")
                 if cfg.cp_freq and global_step % cfg.cp_freq == 0 and not cfg.no_save:
                     save_checkpoint(cfg.cp_dir, self.run_name, self.state, e,
                                     last_metrics.get("loss", 0.0))

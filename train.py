@@ -35,11 +35,19 @@ def train(config: RunConfig = None):
     step = make_fusion_step(model, cfg, mesh=mesh)
     eval_fn = make_fusion_eval(model, cfg, mesh=mesh)
     name = run_name("avf", cfg)
+    import os
+
     import jax
 
+    from maavss_tpu.train.setup import make_fusion_media_fn
+
+    media_fn = None
+    if os.environ.get("MAAVSS_MEDIA") == "1":  # opt-in: extra compile
+        media_fn = make_fusion_media_fn(model, cfg,
+                                        os.path.join(cfg.log_dir, name, "media"))
     trainer = Trainer(cfg, step, state, run_name=name, eval_fn=eval_fn,
                       mode_schedule="cycle", checkpoint_policy="epoch",
-                      n_chips=len(jax.devices()))
+                      n_chips=len(jax.devices()), media_fn=media_fn)
     state = trainer.fit(make_stream(cfg, dataset, tr_idx, mesh, cfg.seed),
                         make_stream(cfg, dataset, va_idx, mesh, cfg.seed + 1))
     if not cfg.no_save:
