@@ -53,7 +53,8 @@ def measure_jax_clips_per_sec(batch_size: int, steps: int = 10, warmup: int = 3,
     state = create_train_state(variables, tx)
 
     mesh = make_mesh() if n_dev > 1 else None
-    step = make_fusion_step(model, cfg, mesh=mesh)
+    step = make_fusion_step(model, cfg, mesh=mesh,
+                            window_mode=os.environ.get("MAAVSS_BENCH_WINDOWS", "scan"))
     log(f"bench: devices={n_dev} batch={batch_size} "
         f"platform={jax.devices()[0].platform}")
 

@@ -76,6 +76,7 @@ class RunConfig:
     log_dir: str = "runs/"
     wandb: bool = False  # reference logs unconditionally; here opt-in
     native_loader: bool = False  # C++ batch assembly (native/dataloader.cc)
+    window_mode: str = "scan"  # scan (reference semantics) | vectorized (fast)
 
     # ---- derived AV-alignment quantities ----
     @property
@@ -183,6 +184,10 @@ def build_parser(parser: Optional[argparse.ArgumentParser] = None) -> argparse.A
     p.add_argument("--wandb", action="store_true")
     p.add_argument("--native_loader", action="store_true",
                    help="assemble batches with the C++ loader (native/)")
+    p.add_argument("--window_mode", type=str, default="scan",
+                   choices=("scan", "vectorized"),
+                   help="sliding windows: sequential grad accumulation "
+                        "(reference semantics) or folded into the batch (fast)")
     return p
 
 

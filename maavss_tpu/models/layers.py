@@ -112,9 +112,13 @@ class LSTM(nn.Module):
     dtype: jnp.dtype = jnp.float32
     reverse: bool = False
     unroll: int = 1
+    backend: Optional[str] = None  # scan | pallas (default: $MAAVSS_LSTM or scan)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import os
+
+        backend = self.backend or os.environ.get("MAAVSS_LSTM", "scan")
         d = x.shape[-1]
         h = self.hidden
         scale = 1.0 / jnp.sqrt(h)
@@ -138,6 +142,15 @@ class LSTM(nn.Module):
             jnp.zeros((bsz, h), self.dtype),
             jnp.zeros((bsz, h), self.dtype),
         )
+
+        if backend == "pallas":
+            # whole recurrence in one fused kernel (ops/pallas_lstm.py)
+            from maavss_tpu.ops.pallas_lstm import pallas_lstm
+
+            ys = jnp.swapaxes(pallas_lstm(jnp.swapaxes(xw, 0, 1), w_h), 0, 1)
+            if self.reverse:
+                ys = jnp.flip(ys, axis=1)
+            return ys
 
         def step(carry, xt):
             hs, cs = carry

@@ -1,0 +1,155 @@
+"""Fused Pallas LSTM recurrence with a hand-written BPTT backward.
+
+The bi-LSTM recurrence is the fusion step's latency bound (SURVEY.md §7.3):
+under lax.scan every timestep issues a separate small [B,H]x[H,4H] matmul
+plus elementwise ops. This kernel runs the ENTIRE recurrence inside one
+Pallas program — the recurrent weights and the input-projected sequence stay
+resident in VMEM across all T steps, gates fuse with the cell update, and
+only two kernels run per training step (forward + backward) instead of ~4T
+XLA ops.
+
+Measured on v5e (fusion step, bf16, b128): 61.4k clips/s/chip at 2.09 ms/step
+vs 72.4k at 1.77 ms for the XLA lax.scan path — XLA's pipelined scan still
+wins there, so scan stays the default (MAAVSS_LSTM=pallas opts in; other
+geometries may differ).
+
+Contract (matches models/layers.LSTM's scan exactly, incl. torch gate order):
+    ys = pallas_lstm(xw, w_h)
+      xw  [T, B, 4H]  input projection x @ W_i (+ bias), time-major
+      w_h [H, 4H]     recurrent weights
+      ys  [T, B, H]   hidden states (h_0 = c_0 = 0)
+
+The backward recomputes gate activations from (xw, saved h/c sequences) —
+storing only ys/cs, not the gate tensor — and accumulates dW_h in a VMEM
+scratch across the reverse sweep.
+
+Off-TPU the kernels run in interpreter mode, so the same code path is
+CI-tested for value/grad parity against the lax.scan reference.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _fwd_kernel(xw_ref, wh_ref, ys_ref, cs_ref):
+    t_len, b, four_h = xw_ref.shape
+    h_dim = four_h // 4
+    out_dtype = ys_ref.dtype
+    wh = wh_ref[:].astype(jnp.float32)
+
+    def body(t, carry):
+        h, c = carry  # fp32 cell state regardless of the IO dtype
+        gates = xw_ref[t].astype(jnp.float32) + jnp.dot(
+            h, wh, preferred_element_type=jnp.float32)
+        i = jax.nn.sigmoid(gates[:, :h_dim])
+        f = jax.nn.sigmoid(gates[:, h_dim:2 * h_dim])
+        g = jnp.tanh(gates[:, 2 * h_dim:3 * h_dim])
+        o = jax.nn.sigmoid(gates[:, 3 * h_dim:])
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        ys_ref[t] = h.astype(out_dtype)
+        cs_ref[t] = c.astype(out_dtype)
+        return (h, c)
+
+    init = (jnp.zeros((b, h_dim), jnp.float32),
+            jnp.zeros((b, h_dim), jnp.float32))
+    jax.lax.fori_loop(0, t_len, body, init)
+
+
+def _bwd_kernel(xw_ref, wh_ref, ys_ref, cs_ref, dys_ref,
+                dxw_ref, dwh_ref):
+    t_len, b, four_h = xw_ref.shape
+    h_dim = four_h // 4
+    dwh_ref[:] = jnp.zeros_like(dwh_ref)
+    wh = wh_ref[:].astype(jnp.float32)
+
+    def body(k, carry):
+        t = t_len - 1 - k
+        dh_next, dc_next = carry
+        h_prev = jnp.where(t > 0,
+                           ys_ref[jnp.maximum(t - 1, 0)], 0.0).astype(jnp.float32)
+        c_prev = jnp.where(t > 0,
+                           cs_ref[jnp.maximum(t - 1, 0)], 0.0).astype(jnp.float32)
+        gates = xw_ref[t].astype(jnp.float32) + jnp.dot(
+            h_prev, wh, preferred_element_type=jnp.float32)
+        i = jax.nn.sigmoid(gates[:, :h_dim])
+        f = jax.nn.sigmoid(gates[:, h_dim:2 * h_dim])
+        g = jnp.tanh(gates[:, 2 * h_dim:3 * h_dim])
+        o = jax.nn.sigmoid(gates[:, 3 * h_dim:])
+        c = cs_ref[t].astype(jnp.float32)
+        tanh_c = jnp.tanh(c)
+
+        dh = dys_ref[t].astype(jnp.float32) + dh_next
+        do = dh * tanh_c
+        dc = dh * o * (1.0 - tanh_c * tanh_c) + dc_next
+        di = dc * g
+        dg = dc * i
+        df = dc * c_prev
+        dgates = jnp.concatenate([
+            di * i * (1.0 - i),
+            df * f * (1.0 - f),
+            dg * (1.0 - g * g),
+            do * o * (1.0 - o),
+        ], axis=-1)
+        dxw_ref[t] = dgates.astype(dxw_ref.dtype)
+        dwh_ref[:] += jnp.dot(h_prev.T, dgates,
+                              preferred_element_type=jnp.float32
+                              ).astype(dwh_ref.dtype)
+        dh_prev = jnp.dot(dgates, wh.T, preferred_element_type=jnp.float32)
+        return (dh_prev, dc * f)
+
+    init = (jnp.zeros((b, h_dim), jnp.float32),
+            jnp.zeros((b, h_dim), jnp.float32))
+    jax.lax.fori_loop(0, t_len, body, init)
+
+
+def _forward(xw: jnp.ndarray, w_h: jnp.ndarray):
+    t_len, b, four_h = xw.shape
+    h_dim = four_h // 4
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    ys, cs = pl.pallas_call(
+        _fwd_kernel,
+        in_specs=[vmem, vmem],
+        out_specs=[vmem, vmem],
+        out_shape=[jax.ShapeDtypeStruct((t_len, b, h_dim), xw.dtype),
+                   jax.ShapeDtypeStruct((t_len, b, h_dim), xw.dtype)],
+        interpret=_interpret(),
+    )(xw, w_h)
+    return ys, cs
+
+
+@jax.custom_vjp
+def pallas_lstm(xw: jnp.ndarray, w_h: jnp.ndarray) -> jnp.ndarray:
+    """LSTM over the full sequence in one fused kernel: [T,B,4H] -> [T,B,H]."""
+    ys, _ = _forward(xw, w_h)
+    return ys
+
+
+def _vjp_fwd(xw, w_h):
+    ys, cs = _forward(xw, w_h)
+    return ys, (xw, w_h, ys, cs)
+
+
+def _vjp_bwd(res, dys):
+    xw, w_h, ys, cs = res
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    dxw, dwh = pl.pallas_call(
+        _bwd_kernel,
+        in_specs=[vmem] * 5,
+        out_specs=[vmem, vmem],
+        out_shape=[jax.ShapeDtypeStruct(xw.shape, xw.dtype),
+                   jax.ShapeDtypeStruct(w_h.shape, w_h.dtype)],
+        interpret=_interpret(),
+    )(xw, w_h, ys, cs, dys)
+    return dxw, dwh
+
+
+pallas_lstm.defvjp(_vjp_fwd, _vjp_bwd)

@@ -116,15 +116,76 @@ def _accumulate(
 # Fusion model (train.py / train_av_net.py regimes)
 # ---------------------------------------------------------------------------
 
-def make_fusion_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None):
+def make_fusion_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
+                     window_mode: str = "scan"):
     """Train step for AVFusionModel over `batch = {'audio': [B, S_total],
     'frames': [B, T_total, p, p]}` with T_total = num_frames + num_seq
     attention frames already at phasegram resolution.
 
     Windowed objective with modality curriculum (train.py:112-181).
+
+    window_mode:
+    - 'scan' (default): sequential windows with gradient accumulation —
+      exact reference semantics (each window's BatchNorm batch is that
+      window alone, stats update window by window).
+    - 'vectorized': all `num_seq` windows fold into the batch dimension and
+      run as ONE forward/backward. Gradients are mathematically identical
+      up to BatchNorm, whose statistics are computed over all windows at
+      once (a larger, arguably better batch). Measured on v5e (bf16,
+      b128) this was ~5x SLOWER than scan (8.4 vs 1.8 ms/step) — the
+      folded batch blows past the fused kernels' efficient tile sizes —
+      so scan remains the default on TPU; vectorized may win elsewhere.
     """
     a, nf, ns = cfg.hops_per_frame, cfg.num_frames, cfg.num_seq
     coeff, obj_zeros = cfg.loss_coeff, cfg.objective_zeros
+    if window_mode not in ("scan", "vectorized"):
+        raise ValueError(f"unknown window_mode {window_mode}")
+
+    def step_vectorized(state: TrainState, batch, rng: jax.Array,
+                        mode: jnp.ndarray):
+        mode = jnp.asarray(mode)
+        x_full, y_full = _prep_stft_pair(
+            batch["audio"], cfg, rng, trim_end=True, max_norm=cfg.normalize_output_fft
+        )
+        frames = batch["frames"]
+        a_mask = jnp.where(mode == 1, 0.0, 1.0)
+        v_mask = jnp.where(mode == 0, 0.0, 1.0)
+        ya_mask = jnp.where((mode == 1) & bool(obj_zeros), 0.0, 1.0)
+        resize = None if frames.shape[-1] == cfg.p_size else (cfg.p_size, cfg.p_size)
+        p_flat = phasegram_cumsum(frames, resize=resize)
+
+        # static window offsets -> plain slices, folded into the batch dim
+        def fold(full):
+            wins = [jax.lax.slice_in_dim(full, j * a, j * a + nf * a, axis=2)
+                    for j in range(ns)]
+            stacked = jnp.stack(wins, axis=1)  # [B, ns, ...]
+            return stacked.reshape((-1,) + stacked.shape[2:])
+
+        # per-window phasegram finishing preserves per-window normalization
+        pg_wins = jnp.stack([phasegram_window(p_flat[:, j:j + nf])
+                             for j in range(ns)], axis=1)
+        y_pg = pg_wins.reshape((-1,) + pg_wins.shape[2:])
+        xs = fold(x_full)
+        ys = fold(y_full)
+
+        def loss_fn(params, bstats):
+            (yh_a, yh_v, _), mut = model.apply(
+                {"params": params, "batch_stats": bstats},
+                xs * a_mask, y_pg * v_mask, train=True, mutable=["batch_stats"],
+            )
+            a_loss = mse(yh_a, ys * ya_mask)
+            v_loss = mse(yh_v, y_pg)
+            loss = a_loss + coeff * v_loss
+            return loss, (mut["batch_stats"],
+                          {"loss": loss, "a_loss": a_loss, "v_loss": v_loss})
+
+        (loss, (bstats, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats)
+        new_state = state.apply_gradients(grads=grads, batch_stats=bstats)
+        return new_state, metrics
+
+    if window_mode == "vectorized":
+        return _jit_step(step_vectorized, mesh, {"audio": 0, "frames": 0})
 
     def step(state: TrainState, batch, rng: jax.Array, mode: jnp.ndarray):
         mode = jnp.asarray(mode)

@@ -79,6 +79,7 @@ class TestFusionStep:
             state, metrics = step(state, batch, jax.random.PRNGKey(mode), jnp.int32(mode))
             assert np.isfinite(float(metrics["loss"]))
 
+    @pytest.mark.slow  # learning is asserted by AE/bf16/vectorized tests too
     def test_loss_decreases(self, setup):
         mesh, step, _, batch = setup
         _, state = fusion_model_and_state(CFG, CFG.batch_size, lr=3e-3)
@@ -103,6 +104,7 @@ class TestFusionMiddleStep:
 
 
 class TestBF16:
+    @pytest.mark.slow
     def test_fusion_step_bf16_trains(self):
         """bfloat16 compute path (params stay fp32): step runs, loss finite
         and decreasing — the bench's production dtype."""

@@ -32,7 +32,7 @@ def train(config: RunConfig = None):
 
 
     model, state = build_fusion(cfg, cfg.batch_size)
-    step = make_fusion_step(model, cfg, mesh=mesh)
+    step = make_fusion_step(model, cfg, mesh=mesh, window_mode=cfg.window_mode)
     eval_fn = make_fusion_eval(model, cfg, mesh=mesh)
     name = run_name("avf", cfg)
     import os
