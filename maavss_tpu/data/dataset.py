@@ -18,6 +18,7 @@ device compute (the reference runs num_workers=0, i.e. no overlap at all).
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from typing import Dict, Iterator, Optional
@@ -57,11 +58,18 @@ class AVDataset:
             video_fps=[frames.fps(v) for v in range(len(frames))],
             clip_len=clip_len, frame_hop=cfg.frame_hop, framerate=cfg.framerate,
         )
-        # audio files are matched to videos positionally: ingest writes one
-        # wav per video in the same order (process_downloads.py pairs by name)
-        if len(audio) != len(frames):
-            raise ValueError(
-                f"audio memmap has {len(audio)} files for {len(frames)} videos")
+        # pair audio files to videos by name stem (ingest writes vidX.wav for
+        # vidX.npy); fall back to positional order when stems don't line up
+        stems = {os.path.splitext(os.path.basename(p))[0]: i
+                 for i, p in enumerate(audio.paths)}
+        if all(v in stems for v in frames.video_ids):
+            self._audio_of_video = [stems[v] for v in frames.video_ids]
+        else:
+            if len(audio) != len(frames):
+                raise ValueError(
+                    f"audio memmap has {len(audio)} files for {len(frames)} "
+                    f"videos and names don't match")
+            self._audio_of_video = list(range(len(frames)))
 
     def __len__(self) -> int:
         return self.index.num_clips()
@@ -73,10 +81,13 @@ class AVDataset:
             fr = self.frames.read(v, frame_idx)
             out["frames"] = fr.astype(np.float32) / 255.0
         if self.mode in ("av", "audio"):
-            fps = self.cfg.framerate
-            start = int(round(frame_idx[0] * self.cfg.samplerate / fps))
+            # frame_idx addresses frames in the shard's NATIVE fps (the clip
+            # index resamples by selecting source frames), so the audio offset
+            # converts through the source fps, not the target framerate
+            src_fps = self.frames.fps(v) or self.cfg.framerate
+            start = int(round(frame_idx[0] * self.cfg.samplerate / src_fps))
             num = self.samples_per_frame * self.clip_len
-            out["audio"] = self.audio.read(v, start, num)
+            out["audio"] = self.audio.read(self._audio_of_video[v], start, num)
         return out
 
 

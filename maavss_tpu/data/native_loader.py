@@ -99,13 +99,15 @@ class NativeAVLoader:
         a_end = np.empty(n, np.int64)
         vid = np.empty(n, np.int32)
         fidx = np.empty((n, t_total), np.int64)
-        sr, fps = dataset.cfg.samplerate, dataset.cfg.framerate
+        sr = dataset.cfg.samplerate
         for row, i in enumerate(ids):
             v, fi = dataset.index.clip_frame_indices(int(i))
             vid[row] = v
             fidx[row] = fi
-            fs, fe = audio.indexes[v]
-            a_start[row] = fs + int(round(fi[0] * sr / fps))
+            # same audio pairing + native-fps offset math as AVDataset
+            fs, fe = audio.indexes[dataset._audio_of_video[v]]
+            src_fps = store.fps(v) or dataset.cfg.framerate
+            a_start[row] = fs + int(round(fi[0] * sr / src_fps))
             a_end[row] = fe
         shard_paths = [
             os.path.join(store.dir, f"{vid_}.npy").encode()

@@ -147,3 +147,37 @@ class TestDatasets:
         tr, va = split_train_val(100, 0.8, seed=0)
         assert len(tr) == 80 and len(va) == 20
         assert len(np.intersect1d(tr, va)) == 0
+
+
+class TestFpsResampleAlignment:
+    def test_audio_offset_uses_source_fps(self, tmp_path):
+        """A 60 fps shard resampled to 30 fps: clip k starts at source frame
+        2k*frame_hop, and its audio offset must convert through 60 fps."""
+        import json
+
+        from maavss_tpu.data.frame_shards import write_frame_shard, FrameShardStore
+        from maavss_tpu.data.wavio import write_wav
+
+        sr, src_fps = 16000, 60.0
+        n_frames, seconds = 120, 2.0
+        frames = (np.arange(n_frames, dtype=np.uint8)[:, None, None]
+                  * np.ones((1, 8, 8), np.uint8))
+        write_frame_shard(str(tmp_path / "frames"), "vid000", frames, src_fps)
+        # audio = sample-index ramp so offsets are directly readable
+        audio = (np.arange(int(seconds * sr), dtype=np.float32) / sr)
+        write_wav(str(tmp_path / "audio" / "vid000.wav") if (tmp_path / "audio").mkdir() or True
+                  else "", audio, sr, pcm16=False)
+        build_audio_memmap([str(tmp_path / "audio" / "vid000.wav")],
+                           str(tmp_path / "audio"), samplerate=sr)
+
+        cfg = CFG.replace(framerate=30)
+        ds = AVDataset(cfg, FrameShardStore(str(tmp_path / "frames")),
+                       AudioMemmap(str(tmp_path / "audio")),
+                       clip_len=4, cache_dir=str(tmp_path / "cc"))
+        ex1 = ds[1]
+        # clip 1 starts at 30fps-frame frame_hop=2 -> source frame 4 -> t=4/60 s
+        expected_start = 4 / 60.0
+        np.testing.assert_allclose(ex1["audio"][0], expected_start, atol=2 / sr)
+        # frames picked every other source frame: 4, 6, 8, 10
+        np.testing.assert_array_equal(ex1["frames"][:, 0, 0] * 255.0,
+                                      [4, 6, 8, 10])
