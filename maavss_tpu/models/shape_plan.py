@@ -177,6 +177,10 @@ def plan_stft_decoder_frames(
     in_ch = latent_channels
     kernel_w = 9
     while [t, s] != [tt, ts]:
+        if len(specs) > 32 or s <= 0 or t <= 0:
+            raise ValueError(
+                f"stft decoder plan cannot reach {(tt, ts)} from {latent_hw} "
+                f"(stuck at {(t, s)}) — frame/STFT geometry incompatible")
         out_ch = max(in_ch // 2, stft_shape[1])
         stride = [1, 1]
         out_pad = [0, 0]
@@ -206,11 +210,18 @@ def plan_stft_decoder_frames(
 # --------------------------------------------------------------------------
 
 def frames_visual_encoder_out_hw(framesize: int) -> int:
-    """Spatial size after the fixed 5-stage conv3d+maxpool stack."""
+    """Spatial size after the fixed 5-stage conv3d+maxpool stack.
+
+    Raises for frame sizes the stack cannot reduce (the reference would
+    crash deep inside torch instead)."""
     s = framesize
     for conv_pad, conv_k, pool in ((2, 5, 2), (2, 5, 2), (2, 5, 2), (2, 5, 3), (3, 5, 3)):
         s = s + 2 * conv_pad - conv_k + 1  # stride-1 conv
         s = (s - pool) // pool + 1  # maxpool k=s=pool
+        if s < 1:
+            raise ValueError(
+                f"framesize {framesize} too small for the 5-stage visual "
+                f"encoder (spatial collapses to {s}); minimum is 24")
     return s
 
 

@@ -53,7 +53,8 @@ def load_stores(cfg: RunConfig, frames_dir: str = "frames", audio_dir: str = "au
         from maavss_tpu.data.synthetic import build_synthetic_store
 
         n = int(cfg.data_path.split(":", 1)[1]) if ":" in cfg.data_path else 4
-        out = os.path.join("data", "synthetic")
+        # one store per frame size so geometry changes never alias
+        out = os.path.join("data", f"synthetic-p{cfg.p_size}")
         frames_path = os.path.join(out, "frames")
         audio_path = os.path.join(out, "audio")
         if not os.path.exists(os.path.join(frames_path, "meta.json")):
