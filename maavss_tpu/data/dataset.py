@@ -153,14 +153,25 @@ class Subset:
 
 def batches(dataset, batch_size: int, shuffle: bool = True, seed: int = 0,
             ) -> Iterator[Dict[str, np.ndarray]]:
-    """Infinite epoch-shuffled drop-remainder batch stream."""
+    """Infinite epoch-shuffled drop-remainder batch stream.
+
+    Datasets smaller than one batch wrap (each epoch is the dataset repeated
+    until a batch fills) so tiny validation splits still stream fixed-shape
+    batches instead of aborting."""
     rng = np.random.default_rng(seed)
     n = len(dataset)
-    if n < batch_size:
-        raise ValueError(f"dataset has {n} items < batch_size {batch_size}")
+    if n == 0:
+        raise ValueError("dataset is empty")
+    reps = -(-batch_size // n)  # ceil
+    if reps > 1:
+        print(f"dataset has {n} items < batch_size {batch_size}; "
+              f"sampling with wraparound")
     while True:
-        order = rng.permutation(n) if shuffle else np.arange(n)
-        for i in range(0, n - batch_size + 1, batch_size):
+        if shuffle:
+            order = np.concatenate([rng.permutation(n) for _ in range(reps)])
+        else:
+            order = np.tile(np.arange(n), reps)
+        for i in range(0, len(order) - batch_size + 1, batch_size):
             items = [dataset[int(j)] for j in order[i:i + batch_size]]
             yield {k: np.stack([it[k] for it in items]) for k in items[0]}
 

@@ -95,24 +95,28 @@ class Trainer:
         best_val = float("inf")
         global_step = int(self.state.step)
 
-        # one-step-delayed metrics: converting device scalars blocks until
-        # that step finishes, so we log step i-1's metrics while step i runs —
-        # the host loop never serializes against the device
-        pending = None  # (global_step, epoch, mode, step_in_epoch, metrics)
+        # deferred metrics: converting device scalars blocks until that step
+        # finishes — one sync costs a full round trip on remote/tunnelled
+        # runtimes. Steps are enqueued back to back; their metrics buffer as
+        # device arrays and are drained in bulk every cb_freq steps (and at
+        # epoch end), still writing one JSONL record per step.
+        pending = []  # [(global_step, epoch, mode, step_in_epoch, metrics)]
 
-        def drain(p):
-            gstep, pe, pmode, pi, m = p
-            host = {k: float(v) for k, v in m.items()}
-            self.logger.log(
-                {**host, "mode": pmode, "epoch": pe,
-                 "clips_per_sec_per_chip": self.meter.clips_per_sec_per_chip},
-                step=gstep,
-            )
-            if pi % cfg.cb_freq == 0:
-                print(f"epoch {pe} step {pi}/{cfg.steps_per_epoch} "
-                      f"loss {host.get('loss', float('nan')):.6f} "
-                      f"mode {pmode} "
-                      f"{self.meter.clips_per_sec_per_chip:.2f} clips/s/chip")
+        def drain():
+            host = {}
+            for gstep, pe, pmode, pi, m in pending:
+                host = {k: float(v) for k, v in m.items()}
+                self.logger.log(
+                    {**host, "mode": pmode, "epoch": pe,
+                     "clips_per_sec_per_chip": self.meter.clips_per_sec_per_chip},
+                    step=gstep,
+                )
+                if pi % cfg.cb_freq == 0:
+                    print(f"epoch {pe} step {pi}/{cfg.steps_per_epoch} "
+                          f"loss {host.get('loss', float('nan')):.6f} "
+                          f"mode {pmode} "
+                          f"{self.meter.clips_per_sec_per_chip:.2f} clips/s/chip")
+            pending.clear()
             return host
 
         last_metrics = {}
@@ -127,21 +131,19 @@ class Trainer:
                 bsz = len(jax.tree_util.tree_leaves(batch)[0])
                 self.meter.update(bsz)
                 global_step += 1
-                if pending is not None:
-                    last_metrics = drain(pending)
-                pending = (global_step, e, self.mode, i, metrics)
-                if i % cfg.cb_freq == 0 and self.media_fn is not None:
-                    try:
-                        self.media_fn(self.state, batch, self._next_rng(),
-                                      global_step)
-                    except Exception as err:  # media must never kill a run
-                        print(f"media callback failed: {err}")
+                pending.append((global_step, e, self.mode, i, metrics))
+                if i % cfg.cb_freq == 0:
+                    last_metrics = drain() or last_metrics
+                    if self.media_fn is not None:
+                        try:
+                            self.media_fn(self.state, batch, self._next_rng(),
+                                          global_step)
+                        except Exception as err:  # media must never kill a run
+                            print(f"media callback failed: {err}")
                 if cfg.cp_freq and global_step % cfg.cp_freq == 0 and not cfg.no_save:
                     save_checkpoint(cfg.cp_dir, self.run_name, self.state, e,
                                     last_metrics.get("loss", 0.0))
-            if pending is not None:  # flush the epoch's final step
-                last_metrics = drain(pending)
-                pending = None
+            last_metrics = drain() or last_metrics  # flush the epoch tail
 
             val_loss = None
             if self.eval_fn is not None and val_batches is not None and cfg.val_steps > 0:
