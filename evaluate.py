@@ -26,7 +26,34 @@ from maavss_tpu.train.infer import make_separator
 from maavss_tpu.train.setup import build_fusion, init_runtime, load_stores
 
 
+def compare_wavs(est_path: str, ref_path: str) -> None:
+    """SI-SDR/SDR between two wav files (e.g. a separated output vs its
+    ground truth — the reference's audio/example_*_{output,ground_truth}.wav
+    pairs can be scored this way). Prints one JSON line."""
+    import jax.numpy as jnp
+
+    from maavss_tpu.data.wavio import read_wav
+    from maavss_tpu.ops.metrics import sdr as sdr_fn, si_sdr
+
+    est, sr1 = read_wav(est_path)
+    ref, sr2 = read_wav(ref_path)
+    n = min(est.shape[-1], ref.shape[-1])
+    e = jnp.asarray(est[0, :n])
+    r = jnp.asarray(ref[0, :n])
+    print(json.dumps({
+        "si_sdr": float(si_sdr(e, r)), "sdr": float(sdr_fn(e, r)),
+        "n_samples": int(n), "sr": [sr1, sr2],
+        "est": est_path, "ref": ref_path,
+    }))
+
+
 def main() -> None:
+    import sys
+
+    if "--compare" in sys.argv:
+        i = sys.argv.index("--compare")
+        compare_wavs(sys.argv[i + 1], sys.argv[i + 2])
+        return
     cfg = model_args()
     init_runtime()
     frames, audio = load_stores(cfg)
