@@ -38,7 +38,7 @@ def main() -> None:
 
     save_image(os.path.join(out, "frames.png"), filmstrip(ex["frames"]),
                cmap="viridis")
-    pg = video_phasegram(jnp.asarray(ex["frames"][None]),
+    pg = video_phasegram(jnp.asarray(ex["frames"][None], jnp.float32) / 255.0,
                          resize=(cfg.p_size, cfg.p_size))
     save_image(os.path.join(out, "phasegram.png"),
                phasegram_image(np.asarray(pg[0]), np.asarray(pg[0])))

@@ -62,7 +62,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.dl_next.restype = ctypes.c_int32
     lib.dl_next.argtypes = [ctypes.c_void_p,
                             ctypes.POINTER(ctypes.c_float),
-                            ctypes.POINTER(ctypes.c_float)]
+                            ctypes.POINTER(ctypes.c_uint8)]
     lib.dl_frame_dims.argtypes = [ctypes.c_void_p,
                                   ctypes.POINTER(ctypes.c_int64),
                                   ctypes.POINTER(ctypes.c_int64)]
@@ -135,11 +135,11 @@ class NativeAVLoader:
 
     def __next__(self) -> Dict[str, np.ndarray]:
         a = np.empty((self.batch, self.samples), np.float32)
-        f = np.empty((self.batch, self.t_total) + self.frame_hw, np.float32)
+        f = np.empty((self.batch, self.t_total) + self.frame_hw, np.uint8)
         rc = self._lib.dl_next(
             self._h,
             a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            f.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+            f.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
         if rc != 0:
             raise StopIteration
         return {"audio": a, "frames": f}

@@ -15,6 +15,7 @@ import numpy as np
 
 
 def _to_unit(x: np.ndarray) -> np.ndarray:
+    x = np.asarray(x, np.float32)  # uint8 inputs would wrap under subtraction
     lo, hi = float(x.min()), float(x.max())
     return (x - lo) / (hi - lo) if hi > lo else np.zeros_like(x)
 

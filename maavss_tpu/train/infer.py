@@ -19,6 +19,7 @@ from maavss_tpu.config import RunConfig
 from maavss_tpu.ops.metrics import si_sdr
 from maavss_tpu.ops.phasegram import phasegram_cumsum, phasegram_window
 from maavss_tpu.ops.stft import istft_features, stft_features
+from maavss_tpu.train.steps import frames_f32
 from maavss_tpu.train.state import TrainState
 
 
@@ -38,7 +39,7 @@ def make_separator(model, cfg: RunConfig):
                                normalized=cfg.normalize_fft, trim_end=True,
                                polar=cfg.use_polar)
         x_full = y_full + jax.random.normal(rng, y_full.shape, y_full.dtype) * cfg.noise_scalar
-        frames = batch["frames"]
+        frames = frames_f32(batch["frames"])
         resize = None if frames.shape[-1] == cfg.p_size else (cfg.p_size, cfg.p_size)
         p_flat = phasegram_cumsum(frames, resize=resize)
 

@@ -48,6 +48,14 @@ def mse(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(jnp.square(a - b))
 
 
+
+def frames_f32(frames: jnp.ndarray) -> jnp.ndarray:
+    """uint8 [0,255] (the wire format, 4x cheaper host->device) or float
+    [0,1] -> float32 [0,1], converted on device."""
+    if frames.dtype == jnp.uint8:
+        return frames.astype(jnp.float32) * (1.0 / 255.0)
+    return frames
+
 def norm_per_example(feats: jnp.ndarray) -> jnp.ndarray:
     """Per-example max-abs STFT normalization (av_dataset.py:339-340 runs per
     dataset item; batched here, so the max is per example, not global)."""
@@ -147,7 +155,7 @@ def make_fusion_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
         x_full, y_full = _prep_stft_pair(
             batch["audio"], cfg, rng, trim_end=True, max_norm=cfg.normalize_output_fft
         )
-        frames = batch["frames"]
+        frames = frames_f32(batch["frames"])
         a_mask = jnp.where(mode == 1, 0.0, 1.0)
         v_mask = jnp.where(mode == 0, 0.0, 1.0)
         ya_mask = jnp.where((mode == 1) & bool(obj_zeros), 0.0, 1.0)
@@ -192,7 +200,7 @@ def make_fusion_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
         x_full, y_full = _prep_stft_pair(
             batch["audio"], cfg, rng, trim_end=True, max_norm=cfg.normalize_output_fft
         )
-        frames = batch["frames"]  # [B, T_total, p, p]
+        frames = frames_f32(batch["frames"])  # [B, T_total, p, p]
         a_mask = jnp.where(mode == 1, 0.0, 1.0)  # visual-only zeroes audio in
         v_mask = jnp.where(mode == 0, 0.0, 1.0)  # audio-only zeroes visual in
         ya_mask = jnp.where((mode == 1) & bool(obj_zeros), 0.0, 1.0)
@@ -243,7 +251,7 @@ def make_fusion_middle_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None):
         x_full, y_full = _prep_stft_pair(
             batch["audio"], cfg, rng, trim_end=True, max_norm=cfg.normalize_output_fft
         )
-        frames = batch["frames"]
+        frames = frames_f32(batch["frames"])
         a_mask = jnp.where(mode == 1, 0.0, 1.0)
         v_mask = jnp.where(mode == 0, 0.0, 1.0)
         resize = None if frames.shape[-1] == cfg.p_size else (cfg.p_size, cfg.p_size)
@@ -292,7 +300,7 @@ def make_frames_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None):
         x_full, y_full = _prep_stft_pair(
             batch["audio"], cfg, rng, trim_end=False, max_norm=cfg.normalize_output_fft
         )
-        frames = batch["frames"][:, :, None]  # [B, T_total, 1, H, W]
+        frames = frames_f32(batch["frames"])[:, :, None]  # [B, T_total, 1, H, W]
         a_in_mask = jnp.where(mode == 1, 0.0, 1.0)
         v_in_mask = jnp.where(mode == 0, 0.0, 1.0)
         ya_mask = jnp.where((mode == 1) & bool(obj_zeros), 0.0, 1.0)
@@ -368,7 +376,7 @@ def make_fusion_eval(model, cfg: RunConfig, mesh: Optional[Mesh] = None):
         x_full, y_full = _prep_stft_pair(
             batch["audio"], cfg, rng, trim_end=True, max_norm=cfg.normalize_output_fft
         )
-        frames = batch["frames"]
+        frames = frames_f32(batch["frames"])
         a_mask = jnp.where(mode == 1, 0.0, 1.0)
         v_mask = jnp.where(mode == 0, 0.0, 1.0)
 
@@ -430,7 +438,7 @@ def make_visual_ae_eval(model, cfg: RunConfig):
     @jax.jit
     def evaluate(state: TrainState, batch, rng: jax.Array, mode: jnp.ndarray):
         del rng, mode
-        frames = batch["frames"]
+        frames = frames_f32(batch["frames"])
         resize = None if frames.shape[-1] == cfg.p_size else (cfg.p_size, cfg.p_size)
         y_pg = video_phasegram(frames, resize=resize)
         yh = model.apply(
@@ -449,7 +457,7 @@ def make_visual_ae_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None):
 
     def step(state: TrainState, batch, rng: jax.Array, mode: jnp.ndarray):
         del rng, mode
-        frames = batch["frames"]
+        frames = frames_f32(batch["frames"])
         resize = None if frames.shape[-1] == cfg.p_size else (cfg.p_size, cfg.p_size)
         y_pg = video_phasegram(frames, resize=resize)  # [B,1,T,p^2]
 

@@ -89,8 +89,8 @@ struct NpyArray {
 // ---------------------------------------------------------------------------
 
 struct Batch {
-  std::vector<float> audio;   // [B, S]
-  std::vector<float> frames;  // [B, T, H, W] (already /255)
+  std::vector<float> audio;     // [B, S]
+  std::vector<uint8_t> frames;  // [B, T, H, W] raw uint8 (device normalizes)
 };
 
 struct Loader {
@@ -153,7 +153,7 @@ struct Loader {
     return order[c];
   }
 
-  void fill_one(int64_t clip, float* a_out, float* f_out) const {
+  void fill_one(int64_t clip, float* a_out, uint8_t* f_out) const {
     // audio slice with zero-pad past file end (audio_memmap.read parity)
     int64_t s0 = clip_audio_start[clip];
     int64_t s1 = clip_audio_end[clip];
@@ -165,9 +165,7 @@ struct Loader {
     const int64_t hw = fh * fw;
     const int64_t* fidx = &clip_frames[clip * t_total];
     for (int t = 0; t < t_total; ++t) {
-      const uint8_t* src = sh.data + fidx[t] * hw;
-      float* dst = f_out + t * hw;
-      for (int64_t i = 0; i < hw; ++i) dst[i] = src[i] * (1.0f / 255.0f);
+      memcpy(f_out + t * hw, sh.data + fidx[t] * hw, hw);
     }
   }
 
@@ -248,8 +246,8 @@ void* dl_create(const char* audio_path,
 }
 
 // Blocking: copies the next ready batch into caller buffers.
-// audio_out: [batch, samples] float32; frames_out: [batch, t_total, H, W] float32.
-int32_t dl_next(void* handle, float* audio_out, float* frames_out) {
+// audio_out: [batch, samples] float32; frames_out: [batch, t_total, H, W] uint8.
+int32_t dl_next(void* handle, float* audio_out, uint8_t* frames_out) {
   auto* L = static_cast<Loader*>(handle);
   Batch* b;
   {
@@ -261,7 +259,7 @@ int32_t dl_next(void* handle, float* audio_out, float* frames_out) {
     L->cv_space.notify_one();
   }
   memcpy(audio_out, b->audio.data(), b->audio.size() * sizeof(float));
-  memcpy(frames_out, b->frames.data(), b->frames.size() * sizeof(float));
+  memcpy(frames_out, b->frames.data(), b->frames.size());
   delete b;
   return 0;
 }

@@ -120,7 +120,7 @@ class TestDatasets:
         ex = ds[0]
         assert ex["frames"].shape == (clip_len, CFG.p_size, CFG.p_size)
         assert ex["audio"].shape == (CFG.hop * CFG.hops_per_frame * clip_len,)
-        assert ex["frames"].dtype == np.float32 and ex["frames"].max() <= 1.0
+        assert ex["frames"].dtype == np.uint8  # raw wire format; steps normalize
         # clip 1 starts frame_hop frames in -> audio shifted by hop*a*frame_hop
         ex1 = ds[1]
         shift = int(round(CFG.frame_hop * CFG.samplerate / CFG.framerate))
@@ -179,5 +179,4 @@ class TestFpsResampleAlignment:
         expected_start = 4 / 60.0
         np.testing.assert_allclose(ex1["audio"][0], expected_start, atol=2 / sr)
         # frames picked every other source frame: 4, 6, 8, 10
-        np.testing.assert_array_equal(ex1["frames"][:, 0, 0] * 255.0,
-                                      [4, 6, 8, 10])
+        np.testing.assert_array_equal(ex1["frames"][:, 0, 0], [4, 6, 8, 10])

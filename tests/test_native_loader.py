@@ -46,8 +46,8 @@ def test_native_batches_match_python(setup):
                     match = i
                     break
             assert match is not None, "native audio row matches no dataset clip"
-            np.testing.assert_allclose(b["frames"][row], ref[match]["frames"],
-                                       atol=1e-7)
+            np.testing.assert_array_equal(b["frames"][row],
+                                          ref[match]["frames"])
             seen.add(match)
     # epoch shuffling must cover the dataset
     assert len(seen) == len(ds)
