@@ -16,7 +16,7 @@ Steady-state training never touches ffmpeg — the input pipeline is pure array
 slicing (SURVEY.md §7.1 L1/L2 design). Videos with no audio stream are moved
 to a reject directory (extract_audio.py:15-19 parity).
 
-A C++ libav ingest (tools/ingest_native) accelerates the same contract; this
+A C++ libav ingest (native/ingest_native) implements the same contract; this
 Python driver is the reference implementation and fallback.
 """
 
