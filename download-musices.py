@@ -6,9 +6,11 @@ MUSICES manifest {class: [video_ids]}, downloads each id with yt-dlp (or
 youtube-dl) into `<out>/<class>/`, skipping ids already present, with a
 per-download timeout (:11-21,53-75).
 
-The manifest is not bundled here; pass `--manifest` pointing at a MUSICES.json
-(classes: flute, acoustic_guitar, accordion, xylophone, tuba, saxophone,
-cello, violin, trumpet — 1438 ids total in the original).
+The manifest is bundled at the repo root (`MUSICES.json`, carried verbatim
+from the reference dataset — it is data, not code; classes: flute,
+acoustic_guitar, accordion, xylophone, tuba, saxophone, cello, violin,
+trumpet — 1438 ids total). Both the original `{"videos": {class: [ids]}}`
+shape and a flat `{class: [ids]}` are accepted.
 """
 
 from __future__ import annotations
@@ -37,6 +39,7 @@ def main() -> None:
     tool = downloader()
     with open(args.manifest) as f:
         manifest = json.load(f)
+    manifest = manifest.get("videos", manifest)  # original nesting (MUSICES.json)
     for cls, ids in manifest.items():
         if args.classes and cls not in args.classes:
             continue

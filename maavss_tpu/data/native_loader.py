@@ -152,5 +152,8 @@ class NativeAVLoader:
     def __del__(self):
         try:
             self.close()
-        except Exception:
-            pass
+        except Exception as e:  # a wedged C++ worker would surface here
+            import warnings
+
+            warnings.warn(f"native loader shutdown failed: {e!r}",
+                          RuntimeWarning, stacklevel=1)
