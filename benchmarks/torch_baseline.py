@@ -86,6 +86,64 @@ def _build_torch_fusion(cfg):
     return Fusion(), stft_shape, pgram_shape
 
 
+def load_flax_fusion_params(torch_model, params, batch_stats=None) -> None:
+    """Copy flax AVFusionModel weights into the torch twin, so the two start
+    from IDENTICAL initialization (the head-to-head parity experiment,
+    tests/test_parity_training.py).
+
+    Layout mapping: flax conv kernels [kh,kw,in,out] -> torch [out,in,kh,kw];
+    Dense kernels [in,out] -> torch [out,in]; LSTM w_i/w_h [D,4H] -> torch
+    weight_ih/hh [4H,D] (gate order already torch's, models/layers.py).
+    BatchNorm scale/bias/mean/var map 1:1. Known semantic deviation: flax
+    updates running_var with the biased batch variance, torch with the
+    unbiased one — training-mode math is identical, eval-mode differs by
+    ~1/(N-1) per BN layer.
+    """
+    import torch
+    from torch import nn
+
+    def t(x):
+        return torch.as_tensor(np.asarray(x).copy())
+
+    def load_stack(seq, p, bs):
+        ci = bi = 0
+        for mod in seq:
+            if isinstance(mod, (nn.Conv2d, nn.ConvTranspose2d)):
+                k = np.asarray(p[f"Conv_{ci}"]["kernel"])
+                if isinstance(mod, nn.Conv2d):
+                    mod.weight.copy_(t(k.transpose(3, 2, 0, 1)))
+                else:  # flax ConvTranspose kernel is unflipped [kh,kw,in,out]
+                    mod.weight.copy_(t(k[::-1, ::-1].transpose(2, 3, 0, 1)))
+                if mod.bias is not None:
+                    mod.bias.copy_(t(p[f"Conv_{ci}"]["bias"]))
+                ci += 1
+            elif isinstance(mod, nn.BatchNorm2d):
+                bn = p[f"TorchBatchNorm_{bi}"]["BatchNorm_0"]
+                mod.weight.copy_(t(bn["scale"]))
+                mod.bias.copy_(t(bn["bias"]))
+                if bs is not None:
+                    st = bs[f"TorchBatchNorm_{bi}"]["BatchNorm_0"]
+                    mod.running_mean.copy_(t(st["mean"]))
+                    mod.running_var.copy_(t(st["var"]))
+                bi += 1
+
+    bs = batch_stats or {}
+    with torch.no_grad():
+        load_stack(torch_model.stft_encoder, params["stft_encoder"],
+                   bs.get("stft_encoder"))
+        load_stack(torch_model.pg_encoder, params["phasegram_encoder"],
+                   bs.get("phasegram_encoder"))
+        lstm = params["lstm"]
+        torch_model.lstm.weight_ih_l0.copy_(t(np.asarray(lstm["fwd"]["w_i"]).T))
+        torch_model.lstm.weight_hh_l0.copy_(t(np.asarray(lstm["fwd"]["w_h"]).T))
+        torch_model.lstm.weight_ih_l0_reverse.copy_(t(np.asarray(lstm["bwd"]["w_i"]).T))
+        torch_model.lstm.weight_hh_l0_reverse.copy_(t(np.asarray(lstm["bwd"]["w_h"]).T))
+        for name in ("fc1", "fc2", "a_fc1", "v_fc1"):
+            lin = getattr(torch_model, name)
+            lin.weight.copy_(t(np.asarray(params[name]["kernel"]).T))
+            lin.bias.copy_(t(params[name]["bias"]))
+
+
 def _torch_phasegram(frames):
     """frames [B,T,p,p] -> [B,1,T,p*p] (utilities.py:206-228 semantics)."""
     import torch

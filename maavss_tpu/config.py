@@ -77,6 +77,11 @@ class RunConfig:
     wandb: bool = False  # reference logs unconditionally; here opt-in
     native_loader: bool = False  # C++ batch assembly (native/dataloader.cc)
     window_mode: str = "scan"  # scan (reference semantics) | vectorized (fast)
+    rnn_cell: str = "lstm"  # fusion recurrence: lstm (parity) | gru (faster)
+    rnn_unroll: int = 1  # lax.scan unroll for the recurrence
+    mask_head: bool = False  # audio head predicts a complex ratio mask
+    #   applied to the noisy input via the fused Pallas kernel (requires
+    #   rectangular features, i.e. use_polar=False)
 
     # ---- derived AV-alignment quantities ----
     @property
@@ -188,6 +193,13 @@ def build_parser(parser: Optional[argparse.ArgumentParser] = None) -> argparse.A
                    choices=("scan", "vectorized"),
                    help="sliding windows: sequential grad accumulation "
                         "(reference semantics) or folded into the batch (fast)")
+    p.add_argument("--rnn_cell", type=str, default="lstm", choices=("lstm", "gru"),
+                   help="fusion recurrence cell (gru: fewer sequential matmuls)")
+    p.add_argument("--rnn_unroll", type=int, default=1,
+                   help="lax.scan unroll factor for the recurrence")
+    p.add_argument("--mask_head", action="store_true",
+                   help="audio head predicts a complex ratio mask applied to "
+                        "the noisy input STFT (fused Pallas kernel)")
     return p
 
 

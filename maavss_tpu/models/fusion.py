@@ -22,7 +22,8 @@ from typing import Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from maavss_tpu.models.layers import BiLSTM, ConvStack
+from maavss_tpu.models.layers import ConvStack, make_birnn
+from maavss_tpu.ops.pallas_kernels import complex_mask_apply
 from maavss_tpu.models.shape_plan import (
     plan_phasegram_decoder,
     plan_phasegram_encoder,
@@ -37,6 +38,18 @@ class AVFusionModel(nn.Module):
     latent_channels: int = 64
     fc_size: int = 4096
     dtype: jnp.dtype = jnp.float32
+    # fusion recurrence: 'lstm' (reference parity) or 'gru' (north-star
+    # option — 3 gates instead of 4, fewer sequential matmuls on the MXU)
+    rnn_cell: str = "lstm"
+    rnn_unroll: int = 1
+    # complex-ratio-mask head (north star "complex-mask application"): the
+    # audio head predicts a complex mask applied to the noisy input STFT via
+    # the fused Pallas kernel instead of regressing the clean STFT directly.
+    # Requires rectangular (re,im) features — incompatible with use_polar.
+    # Note: in the visual-only curriculum mode the audio input is zeroed, so a
+    # multiplicative head necessarily outputs zeros there; use mask_head for
+    # separation-focused training (mode 0/2).
+    mask_head: bool = False
 
     def setup(self):
         pg_enc, pg_hw = plan_phasegram_encoder(
@@ -52,7 +65,8 @@ class AVFusionModel(nn.Module):
         self.stft_encoder = ConvStack(tuple(a_enc), dtype=self.dtype)
         self.stft_decoder = ConvStack(tuple(a_dec), dtype=self.dtype)
 
-        self.lstm = BiLSTM(256, use_bias=False, dtype=self.dtype)
+        self.lstm = make_birnn(self.rnn_cell, 256, use_bias=False,
+                               dtype=self.dtype, unroll=self.rnn_unroll)
         self.fc1 = nn.Dense(self.fc_size // 2, dtype=self.dtype)
         self.fc2 = nn.Dense(512, dtype=self.dtype)
         t_stft, f_stft = self.stft_shape[-2], self.stft_shape[-1]
@@ -99,8 +113,13 @@ class AVFusionModel(nn.Module):
         x_a_enc = self.stft_encoder(x_a, train)
         x_v_enc = self.phasegram_encoder(x_v, train)
         fused = self.av_fusion_forward(x_a_enc, x_v_enc)
-        x_a_out = nn.leaky_relu(self.a_fc1(fused), negative_slope=0.3)
+        x_a_head = self.a_fc1(fused)
+        if self.mask_head:
+            # predicted complex ratio mask * noisy input, one fused VMEM pass
+            mask = x_a_head.reshape(x_a.shape).astype(x_a.dtype)
+            x_a_out = complex_mask_apply(x_a, mask)
+        else:
+            x_a_out = nn.leaky_relu(x_a_head, negative_slope=0.3).reshape(x_a.shape)
         x_v_out = nn.leaky_relu(self.v_fc1(fused), negative_slope=0.3)
-        x_a_out = x_a_out.reshape(x_a.shape)
         x_v_out = x_v_out.reshape(x_v.shape)
         return x_a_out, x_v_out, fused

@@ -22,7 +22,7 @@ from typing import Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from maavss_tpu.models.layers import BiLSTM, ConvStack, TorchBatchNorm
+from maavss_tpu.models.layers import ConvStack, TorchBatchNorm, make_birnn
 from maavss_tpu.models.shape_plan import (
     frames_visual_encoder_out_hw,
     plan_stft_decoder_frames,
@@ -68,6 +68,8 @@ class AVFusionFramesModel(nn.Module):
     latent_channels: int = 16
     fc_size: int = 4096  # reference overwrites this with the LSTM output size
     dtype: jnp.dtype = jnp.float32
+    rnn_cell: str = "lstm"  # 'lstm' (reference parity) | 'gru' (north-star option)
+    rnn_unroll: int = 1
 
     def setup(self):
         hw = frames_visual_encoder_out_hw(self.frame_shape[-1])
@@ -80,7 +82,8 @@ class AVFusionFramesModel(nn.Module):
         self.stft_encoder = ConvStack(tuple(a_enc), dtype=self.dtype, use_bias=False)
         self.stft_decoder = ConvStack(tuple(a_dec), dtype=self.dtype, use_bias=False)
 
-        self.lstm = BiLSTM(256, use_bias=False, dtype=self.dtype)
+        self.lstm = make_birnn(self.rnn_cell, 256, use_bias=False,
+                               dtype=self.dtype, unroll=self.rnn_unroll)
         # fc sizes depend on the LSTM-flattened width; flax infers inputs
         lstm_seq = 2 * self.latent_channels  # channels of the latent concat
         flat = lstm_seq * 512

@@ -170,6 +170,64 @@ class LSTM(nn.Module):
         return ys
 
 
+class GRU(nn.Module):
+    """Unidirectional GRU over [B, T, D] -> [B, T, H] via lax.scan.
+
+    The north star allows swapping the fusion recurrence for a GRU (fewer
+    sequential matmuls: 3H vs 4H gates and no cell state). Gate order and
+    semantics are torch's nn.GRU (r, z, n; the reset gate multiplies the
+    *recurrent* candidate term, h @ W_hn, before the tanh), so torch
+    checkpoints convert 1:1. Like LSTM above, the input projection is hoisted
+    out of the scan into one big MXU matmul."""
+
+    hidden: int
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+    reverse: bool = False
+    unroll: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        d = x.shape[-1]
+        h = self.hidden
+        scale = 1.0 / jnp.sqrt(h)
+
+        def uniform_init(key, shape, dtype=self.dtype):
+            return jax.random.uniform(key, shape, dtype, -scale, scale)
+
+        w_i = self.param("w_i", uniform_init, (d, 3 * h))
+        w_h = self.param("w_h", uniform_init, (h, 3 * h))
+        b_i = self.param("b_i", uniform_init, (3 * h,)) if self.use_bias else None
+        b_h = self.param("b_h", uniform_init, (3 * h,)) if self.use_bias else None
+
+        xw = jnp.einsum("btd,dh->bth", x, w_i)
+        if b_i is not None:
+            xw = xw + b_i
+        if self.reverse:
+            xw = jnp.flip(xw, axis=1)
+
+        init = jnp.zeros((x.shape[0], h), self.dtype)
+
+        def step(hs, xt):
+            hg = hs @ w_h
+            if b_h is not None:
+                hg = hg + b_h
+            xr, xz, xn = jnp.split(xt, 3, axis=-1)  # torch gate order (r, z, n)
+            hr, hz, hn = jnp.split(hg, 3, axis=-1)
+            r = nn.sigmoid(xr + hr)
+            z = nn.sigmoid(xz + hz)
+            n = jnp.tanh(xn + r * hn)
+            hs = (1.0 - z) * n + z * hs
+            return hs, hs
+
+        _, ys = jax.lax.scan(step, init, jnp.swapaxes(xw, 0, 1),
+                             unroll=self.unroll)
+        ys = jnp.swapaxes(ys, 0, 1)
+        if self.reverse:
+            ys = jnp.flip(ys, axis=1)
+        return ys
+
+
 class BiLSTM(nn.Module):
     """Bidirectional LSTM: concat of forward and reverse passes -> [B, T, 2H].
 
@@ -189,3 +247,38 @@ class BiLSTM(nn.Module):
         bwd = LSTM(self.hidden, self.use_bias, self.dtype, reverse=True,
                    unroll=self.unroll, name="bwd")(x)
         return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+class BiGRU(nn.Module):
+    """Bidirectional GRU: concat of forward and reverse passes -> [B, T, 2H].
+
+    Optional fusion recurrence (--rnn_cell gru); the reference only has the
+    bi-LSTM, this is the north-star-sanctioned faster variant."""
+
+    hidden: int
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+    unroll: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        fwd = GRU(self.hidden, self.use_bias, self.dtype, reverse=False,
+                  unroll=self.unroll, name="fwd")(x)
+        bwd = GRU(self.hidden, self.use_bias, self.dtype, reverse=True,
+                  unroll=self.unroll, name="bwd")(x)
+        return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+def make_birnn(cell: str, hidden: int, use_bias: bool = False,
+               dtype: jnp.dtype = jnp.float32, unroll: int = 1, name: str = "lstm"):
+    """Bidirectional recurrence factory for the fusion cores: 'lstm'
+    (reference parity) or 'gru' (north-star option, fewer sequential matmuls).
+    The flax module name stays 'lstm' either way so checkpoints keep one
+    param-tree layout per cell choice."""
+    if cell == "lstm":
+        return BiLSTM(hidden, use_bias=use_bias, dtype=dtype, unroll=unroll,
+                      name=name)
+    if cell == "gru":
+        return BiGRU(hidden, use_bias=use_bias, dtype=dtype, unroll=unroll,
+                     name=name)
+    raise ValueError(f"unknown rnn cell {cell!r} (lstm|gru)")

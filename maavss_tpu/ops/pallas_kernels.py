@@ -19,7 +19,6 @@ fall back to interpreter mode off-TPU so CPU tests exercise the same code.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax
@@ -92,7 +91,7 @@ def _magphase_kernel(re_ref, im_ref, mag_ref, ph_ref):
     ph_ref[:] = jnp.arctan2(im, re)
 
 
-@partial(jax.jit, static_argnames=())
+@jax.custom_vjp
 def magphase(stft_ri: jnp.ndarray) -> jnp.ndarray:
     """[..., 2(re,im), T, F] -> [..., 2(mag,phase), T, F] in one pass
     (the polar feature mode, av_dataset.py:176-178)."""
@@ -107,13 +106,34 @@ def magphase(stft_ri: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([mag, ph], axis=-3)
 
 
+def _magphase_fwd(stft_ri):
+    return magphase(stft_ri), stft_ri
+
+
+def _magphase_bwd(stft_ri, g):
+    # mag = sqrt(re^2+im^2), ph = atan2(im, re); analytic adjoints, eps-guarded
+    # at the origin where both are non-differentiable. The bwd is plain jnp
+    # (elementwise — XLA fuses it); only the fwd needs the single-pass kernel.
+    re, im = stft_ri[..., 0, :, :], stft_ri[..., 1, :, :]
+    gm, gp = g[..., 0, :, :], g[..., 1, :, :]
+    m2 = re * re + im * im
+    m = jnp.sqrt(jnp.maximum(m2, 1e-24))
+    m2 = jnp.maximum(m2, 1e-24)
+    dre = gm * re / m - gp * im / m2
+    dim = gm * im / m + gp * re / m2
+    return (jnp.stack([dre, dim], axis=-3),)
+
+
+magphase.defvjp(_magphase_fwd, _magphase_bwd)
+
+
 def _polar_kernel(mag_ref, ph_ref, re_ref, im_ref):
     mag, ph = mag_ref[:], ph_ref[:]
     re_ref[:] = mag * jnp.cos(ph)
     im_ref[:] = mag * jnp.sin(ph)
 
 
-@partial(jax.jit, static_argnames=())
+@jax.custom_vjp
 def polar_to_rect(stft_mp: jnp.ndarray) -> jnp.ndarray:
     """[..., 2(mag,phase), T, F] -> [..., 2(re,im), T, F] in one pass (the
     corrected polar inverse, cf. the reference's broken path at
@@ -127,3 +147,21 @@ def polar_to_rect(stft_mp: jnp.ndarray) -> jnp.ndarray:
         interpret=_interpret(),
     )(mag, ph)
     return jnp.stack([re, im], axis=-3)
+
+
+def _polar_fwd(stft_mp):
+    return polar_to_rect(stft_mp), stft_mp
+
+
+def _polar_bwd(stft_mp, g):
+    # re = m cos p, im = m sin p  =>  dm = gre cos p + gim sin p,
+    # dp = m (gim cos p - gre sin p). Exact; plain jnp (elementwise, fuses).
+    mag, ph = stft_mp[..., 0, :, :], stft_mp[..., 1, :, :]
+    gre, gim = g[..., 0, :, :], g[..., 1, :, :]
+    c, s = jnp.cos(ph), jnp.sin(ph)
+    dm = gre * c + gim * s
+    dp = mag * (gim * c - gre * s)
+    return (jnp.stack([dm, dp], axis=-3),)
+
+
+polar_to_rect.defvjp(_polar_fwd, _polar_bwd)

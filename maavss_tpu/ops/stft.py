@@ -37,6 +37,18 @@ import jax.numpy as jnp
 from maavss_tpu.ops.windows import hamming_window
 
 
+def _pallas_polar() -> bool:
+    """Route the polar feature conversions through the fused Pallas kernels
+    (ops/pallas_kernels.py). Default: on for TPU backends, off elsewhere;
+    override with MAAVSS_PALLAS_POLAR=0/1. Evaluated at trace time."""
+    import os
+
+    v = os.environ.get("MAAVSS_PALLAS_POLAR", "auto")
+    if v in ("0", "1"):
+        return v == "1"
+    return jax.default_backend() == "tpu"
+
+
 def num_stft_frames(num_samples: int, hop: int) -> int:
     """Frame count for center=True framing (torch.stft parity)."""
     return 1 + num_samples // hop
@@ -132,7 +144,8 @@ def istft(
     return sig[..., :length]
 
 
-@partial(jax.jit, static_argnames=("fft_len", "hop", "normalized", "trim_end", "polar"))
+@partial(jax.jit, static_argnames=("fft_len", "hop", "normalized", "trim_end",
+                                   "polar", "pallas"))
 def stft_features(
     audio: jnp.ndarray,
     fft_len: int,
@@ -140,26 +153,35 @@ def stft_features(
     normalized: bool = True,
     trim_end: bool = True,
     polar: bool = False,
+    pallas: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Audio `[..., samples]` -> features `[..., 2, T, F]`.
 
     Matches AV_Dataset.stft + the permute at av_dataset.py:338: the last time
     frame is always dropped; the last (Nyquist) freq bin is dropped when
     `trim_end` (av_dataset.py:171-174); channels are (real, imag), or
-    (magnitude, phase) when `polar` (av_dataset.py:176-178).
+    (magnitude, phase) when `polar` (av_dataset.py:176-178). `pallas` routes
+    the polar conversion through the fused kernel (None = auto: TPU backend
+    or $MAAVSS_PALLAS_POLAR; a static jit arg so each choice compiles apart).
     """
     spec = stft(audio, fft_len, hop, normalized=normalized)  # [..., T, F+1]
     spec = spec[..., :-1, :]  # drop last time frame
     if trim_end:
         spec = spec[..., :, :-1]  # drop Nyquist bin
     if polar:
+        if pallas if pallas is not None else _pallas_polar():
+            from maavss_tpu.ops.pallas_kernels import magphase
+
+            ri = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-3)
+            return magphase(ri)
         c0, c1 = jnp.abs(spec), jnp.angle(spec)
     else:
         c0, c1 = jnp.real(spec), jnp.imag(spec)
     return jnp.stack([c0, c1], axis=-3)  # [..., 2, T, F]
 
 
-@partial(jax.jit, static_argnames=("fft_len", "hop", "normalized", "trim_end", "polar", "length"))
+@partial(jax.jit, static_argnames=("fft_len", "hop", "normalized", "trim_end",
+                                   "polar", "length", "pallas"))
 def istft_features(
     feats: jnp.ndarray,
     fft_len: int,
@@ -168,13 +190,18 @@ def istft_features(
     trim_end: bool = True,
     polar: bool = False,
     length: Optional[int] = None,
+    pallas: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Features `[..., 2, T, F]` -> audio `[..., samples]`.
 
     Re-pads the trimmed Nyquist bin with zeros (av_dataset.py:183-184); polar
     features are converted via mag*exp(i*phase) (fixing the reference's broken
-    polar path, av_dataset.py:190).
+    polar path, av_dataset.py:190), through the fused Pallas kernel when
+    `pallas` (None = auto, like stft_features).
     """
+    if polar and (pallas if pallas is not None else _pallas_polar()):
+        feats = polar_to_rect_features(feats)
+        polar = False
     c0 = feats[..., 0, :, :]
     c1 = feats[..., 1, :, :]
     if polar:
@@ -185,6 +212,13 @@ def istft_features(
         pad_width = [(0, 0)] * (spec.ndim - 1) + [(0, 1)]
         spec = jnp.pad(spec, pad_width)
     return istft(spec, fft_len, hop, normalized=normalized, length=length)
+
+
+def polar_to_rect_features(feats: jnp.ndarray) -> jnp.ndarray:
+    """(mag, phase) channels -> (re, im), via the fused Pallas kernel."""
+    from maavss_tpu.ops.pallas_kernels import polar_to_rect
+
+    return polar_to_rect(feats)
 
 
 def normalize_stft(feats: jnp.ndarray) -> jnp.ndarray:

@@ -86,12 +86,17 @@ def default_mesh(cfg: RunConfig):
 def build_fusion(cfg: RunConfig, batch_size: int,
                  trainable: Optional[Sequence[str]] = None,
                  optimizer: str = "adam") -> Tuple[AVFusionModel, TrainState]:
+    if cfg.mask_head and cfg.use_polar:
+        raise SystemExit("--mask_head needs rectangular (re,im) STFT features; "
+                         "drop --use_polar")
     t_stft = cfg.hops_per_frame * cfg.num_frames
     model = AVFusionModel(
         stft_shape=(batch_size, 2, t_stft, cfg.fft_len // 2),
         pgram_shape=(batch_size, 1, cfg.num_frames, cfg.p_size**2),
         latent_channels=cfg.latent_chan, fc_size=cfg.fc_size,
         dtype=jnp.dtype(cfg.dtype),
+        rnn_cell=cfg.rnn_cell, rnn_unroll=cfg.rnn_unroll,
+        mask_head=cfg.mask_head,
     )
     x_a = jnp.zeros(model.stft_shape, jnp.float32)
     x_v = jnp.zeros(model.pgram_shape, jnp.float32)
@@ -111,6 +116,7 @@ def build_frames_model(cfg: RunConfig, batch_size: int, frame_size: int,
         frame_shape=(batch_size, 1, cfg.num_frames, frame_size, frame_size),
         hops_per_frame=cfg.hops_per_frame, latent_channels=latent_channels,
         fc_size=cfg.fc_size, dtype=jnp.dtype(cfg.dtype),
+        rnn_cell=cfg.rnn_cell, rnn_unroll=cfg.rnn_unroll,
     )
     x_a = jnp.zeros(model.stft_shape, jnp.float32)
     x_v = jnp.zeros(model.frame_shape, jnp.float32)
