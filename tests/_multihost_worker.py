@@ -23,25 +23,23 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-import jax.numpy as jnp  # noqa: E402
-
-from maavss_tpu.config import RunConfig  # noqa: E402
-from maavss_tpu.data.synthetic import synthetic_av_batch  # noqa: E402
-from maavss_tpu.models.fusion import AVFusionModel  # noqa: E402
-from maavss_tpu.parallel import distributed  # noqa: E402
-from maavss_tpu.train.state import create_train_state, make_optimizer  # noqa: E402
-from maavss_tpu.train.steps import make_fusion_step  # noqa: E402
-
 GLOBAL_BATCH = 8
 
 
-def tiny_cfg() -> RunConfig:
+def tiny_cfg():
+    from maavss_tpu.config import RunConfig
+
     return RunConfig(num_frames=4, num_seq=4, hops_per_frame=4, fft_len=64,
                      p_size=16, latent_chan=8, fc_size=256, learning_rate=1e-3,
                      batch_size=GLOBAL_BATCH, noise_scalar=0.0)
 
 
-def build(cfg: RunConfig):
+def build(cfg):
+    import jax.numpy as jnp
+
+    from maavss_tpu.models.fusion import AVFusionModel
+    from maavss_tpu.train.state import create_train_state, make_optimizer
+
     t_stft = cfg.hops_per_frame * cfg.num_frames
     model = AVFusionModel(
         stft_shape=(GLOBAL_BATCH, 2, t_stft, cfg.fft_len // 2),
@@ -55,11 +53,20 @@ def build(cfg: RunConfig):
 
 
 def main() -> None:
+    # distributed init MUST precede anything that could initialize the XLA
+    # backend — including importing framework modules that probe devices
+    from maavss_tpu.parallel import distributed
+
     distributed.initialize(
         coordinator_address=os.environ["MH_COORD"],
         num_processes=int(os.environ["MH_NPROC"]),
         process_id=int(os.environ["MH_PID"]),
     )
+    import jax.numpy as jnp  # noqa: F401
+
+    from maavss_tpu.data.synthetic import synthetic_av_batch
+    from maavss_tpu.train.steps import make_fusion_step
+
     assert jax.process_count() == int(os.environ["MH_NPROC"])
     assert len(jax.devices()) == 8, jax.devices()
 

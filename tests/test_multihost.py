@@ -37,6 +37,7 @@ def test_two_process_step_matches_single_process():
     for pid in range(2):
         env = dict(os.environ)
         env.pop("XLA_FLAGS", None)  # worker sets its own device count
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
         env.update({"MH_COORD": f"127.0.0.1:{port}", "MH_NPROC": "2",
                     "MH_PID": str(pid)})
         procs.append(subprocess.Popen(
