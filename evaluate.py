@@ -8,6 +8,9 @@ over held-out clips, reports SI-SDR of the separated audio vs ground truth
 reference's examples. Prints one JSON summary line.
 
 Usage: python evaluate.py --data_path synthetic -c   (resume latest checkpoint)
+       python evaluate.py --model frames ...         (AVFusionFramesModel:
+           stitches each window's predicted middle-frame STFT columns into
+           the mixture spectrogram — the final model's regime)
 """
 
 from __future__ import annotations
@@ -22,8 +25,13 @@ from maavss_tpu.config import model_args
 from maavss_tpu.data.dataset import AVDataset, Subset, batches, split_train_val
 from maavss_tpu.exp.checkpoint import load_checkpoint
 from maavss_tpu.exp.viz import save_audio
-from maavss_tpu.train.infer import make_separator
-from maavss_tpu.train.setup import build_fusion, init_runtime, load_stores
+from maavss_tpu.train.infer import make_frames_separator, make_separator
+from maavss_tpu.train.setup import (
+    build_frames_model,
+    build_fusion,
+    init_runtime,
+    load_stores,
+)
 
 
 def compare_wavs(est_path: str, ref_path: str) -> None:
@@ -54,6 +62,11 @@ def main() -> None:
         i = sys.argv.index("--compare")
         compare_wavs(sys.argv[i + 1], sys.argv[i + 2])
         return
+    model_kind = "fusion"
+    if "--model" in sys.argv:
+        i = sys.argv.index("--model")
+        model_kind = sys.argv[i + 1]
+        del sys.argv[i:i + 2]
     cfg = model_args()
     init_runtime()
     frames, audio = load_stores(cfg)
@@ -62,11 +75,17 @@ def main() -> None:
     val = Subset(dataset, va_idx if len(va_idx) >= cfg.batch_size else
                  np.arange(len(dataset)))
 
-    model, state = build_fusion(cfg, cfg.batch_size)
+    if model_kind == "frames":
+        frame_size = dataset[0]["frames"].shape[-1]
+        model, state = build_frames_model(cfg, cfg.batch_size, frame_size)
+        separate_fn = make_frames_separator
+    else:
+        model, state = build_fusion(cfg, cfg.batch_size)
+        separate_fn = make_separator
     if cfg.c or cfg.checkpoint:
         state, _ = load_checkpoint(cfg.cp_dir, state, auto=cfg.c,
                                    path=cfg.checkpoint)
-    separate = make_separator(model, cfg)
+    separate = separate_fn(model, cfg)
 
     it = batches(val, cfg.batch_size, shuffle=False)
     sdrs, gains = [], []

@@ -38,9 +38,16 @@ from maavss_tpu.ops.windows import hamming_window
 
 
 def _pallas_polar() -> bool:
-    """Route the polar feature conversions through the fused Pallas kernels
-    (ops/pallas_kernels.py). Default: on for TPU backends, off elsewhere;
-    override with MAAVSS_PALLAS_POLAR=0/1. Evaluated at trace time."""
+    """Route the INVERSE polar conversion (polar_to_rect: cos/sin) through the
+    fused Pallas kernel. Default: on for TPU backends, off elsewhere; override
+    with MAAVSS_PALLAS_POLAR=0/1. Evaluated at trace time.
+
+    The FORWARD conversion (magphase) never auto-routes to Pallas: Mosaic has
+    no atan2 lowering (measured on a v5e this round — pallas_call fails with
+    "Unimplemented primitive ... atan2"), so auto mode keeps the forward in
+    XLA, which fuses the elementwise abs/angle into the surrounding ops
+    anyway. An explicit `pallas=True` still forces the kernel (interpret mode
+    / future jax versions)."""
     import os
 
     v = os.environ.get("MAAVSS_PALLAS_POLAR", "auto")
@@ -160,16 +167,16 @@ def stft_features(
     Matches AV_Dataset.stft + the permute at av_dataset.py:338: the last time
     frame is always dropped; the last (Nyquist) freq bin is dropped when
     `trim_end` (av_dataset.py:171-174); channels are (real, imag), or
-    (magnitude, phase) when `polar` (av_dataset.py:176-178). `pallas` routes
-    the polar conversion through the fused kernel (None = auto: TPU backend
-    or $MAAVSS_PALLAS_POLAR; a static jit arg so each choice compiles apart).
+    (magnitude, phase) when `polar` (av_dataset.py:176-178). `pallas=True`
+    forces the fused magphase kernel (a static jit arg); the default keeps
+    the forward in XLA because Mosaic cannot lower atan2 (see _pallas_polar).
     """
     spec = stft(audio, fft_len, hop, normalized=normalized)  # [..., T, F+1]
     spec = spec[..., :-1, :]  # drop last time frame
     if trim_end:
         spec = spec[..., :, :-1]  # drop Nyquist bin
     if polar:
-        if pallas if pallas is not None else _pallas_polar():
+        if pallas:  # explicit opt-in only: Mosaic lacks atan2 (_pallas_polar)
             from maavss_tpu.ops.pallas_kernels import magphase
 
             ri = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-3)

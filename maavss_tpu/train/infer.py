@@ -23,6 +23,57 @@ from maavss_tpu.train.steps import frames_f32
 from maavss_tpu.train.state import TrainState
 
 
+def make_frames_separator(model, cfg: RunConfig):
+    """Compiled separator for the frames model (AVFusionFramesModel) over
+    batch = {'audio': [B, S_total], 'frames': [B, T_total, H, W]} at raw
+    attention-frame resolution.
+
+    The final model predicts only the middle frame's `hops_per_frame` STFT
+    columns per window (avse_model_final.py:203-213, train_avse_frames.py:105),
+    so the sweep stitches each window's predicted middle columns into the
+    (noisy) full spectrogram — columns outside the covered band fall back to
+    the input mixture — then resynthesizes. STFT keeps the Nyquist bin
+    (trim_end=False) per the final model's geometry.
+    """
+    a, nf, ns = cfg.hops_per_frame, cfg.num_frames, cfg.num_seq
+    idx_middle = (ns - 1) // 2
+
+    @jax.jit
+    def separate(state: TrainState, batch, rng: jax.Array) -> Dict[str, jnp.ndarray]:
+        y_full = stft_features(batch["audio"], cfg.fft_len, cfg.hop,
+                               normalized=cfg.normalize_fft, trim_end=False)
+        x_full = y_full + jax.random.normal(rng, y_full.shape, y_full.dtype) * cfg.noise_scalar
+        frames = frames_f32(batch["frames"])[:, :, None]  # [B,T,1,H,W]
+
+        def body(yh_full, j):
+            fr = jax.lax.dynamic_slice_in_dim(frames, j, nf, axis=1)
+            x_v = jnp.transpose(fr, (0, 2, 1, 3, 4))  # [B,1,nf,H,W]
+            xs = jax.lax.dynamic_slice_in_dim(x_full, j * a, nf * a, axis=2)
+            yh_mid, _, _ = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                xs, x_v, train=False)  # [B,2,a,F]
+            yh_full = jax.lax.dynamic_update_slice_in_dim(
+                yh_full, yh_mid.astype(yh_full.dtype), (j + idx_middle) * a, axis=2)
+            return yh_full, None
+
+        yh_full, _ = jax.lax.scan(body, x_full, jnp.arange(ns))
+
+        length = batch["audio"].shape[-1]
+        yh_audio = istft_features(yh_full, cfg.fft_len, cfg.hop,
+                                  normalized=cfg.normalize_fft, trim_end=False,
+                                  length=length)
+        x_audio = istft_features(x_full, cfg.fft_len, cfg.hop,
+                                 normalized=cfg.normalize_fft, trim_end=False,
+                                 length=length)
+        sdr_out = si_sdr(yh_audio, batch["audio"])
+        sdr_in = si_sdr(x_audio, batch["audio"])
+        return {"audio_out": yh_audio, "audio_in": x_audio,
+                "si_sdr": sdr_out, "si_sdr_noisy": sdr_in,
+                "si_sdr_gain": sdr_out - sdr_in}
+
+    return separate
+
+
 def make_separator(model, cfg: RunConfig):
     """Compiled `separate(state, batch, rng) -> dict` over
     batch = {'audio': [B, S_total], 'frames': [B, T_total, p, p]}.

@@ -81,3 +81,31 @@ class TestFlow:
         mag = np.asarray(flow_magnitude(jnp.asarray(fr)))
         assert mag.shape == (2, 6, 32, 32)
         assert np.all(mag >= 0) and mag.max() <= 1.0 + 1e-5
+
+
+def test_frames_separator_stitches_middle_windows():
+    """make_frames_separator: predicted middle columns replace the mixture's;
+    a zero-trained model must still produce finite audio + metrics, and with
+    noise_scalar=0 the uncovered columns reproduce the clean mixture."""
+    from maavss_tpu.models.fusion_frames import AVFusionFramesModel
+    from maavss_tpu.train.infer import make_frames_separator
+
+    cfg = CFG.replace(noise_scalar=0.1)
+    b, fs = 2, 48
+    t_stft = cfg.hops_per_frame * cfg.num_frames
+    model = AVFusionFramesModel(
+        stft_shape=(b, 2, t_stft, cfg.fft_len // 2 + 1),
+        frame_shape=(b, 1, cfg.num_frames, fs, fs),
+        hops_per_frame=cfg.hops_per_frame, latent_channels=8, fc_size=256)
+    x_a = jnp.zeros(model.stft_shape, jnp.float32)
+    x_v = jnp.zeros(model.frame_shape, jnp.float32)
+    vs = model.init(jax.random.PRNGKey(0), x_a, x_v, method=model.init_all)
+    state = create_train_state(vs, make_optimizer(1e-3, "adam"))
+
+    batch = synthetic_av_batch(cfg, b, seed=0, frame_size=fs)
+    batch = jax.tree_util.tree_map(jnp.asarray, batch)
+    separate = make_frames_separator(model, cfg)
+    out = separate(state, batch, jax.random.PRNGKey(1))
+    assert out["audio_out"].shape == batch["audio"].shape
+    for k in ("si_sdr", "si_sdr_noisy", "si_sdr_gain"):
+        assert np.all(np.isfinite(np.asarray(out[k]))), k

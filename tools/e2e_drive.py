@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""One-command end-to-end drive over real decoded video (SURVEY.md §3.1).
+
+Exercises the full reference call stack through the PUBLIC CLI surface, each
+stage a subprocess of the same entry points a user runs:
+
+  1. native/ingest encoder: synthesize + encode real video files (libav)
+  2. tools/ingest.py: decode -> frame shards + audio memmap + pts index
+  3. save_attn_videos.py: ViT attention frames (random weights, announced —
+     pretrained DINO is env-gated in this zero-egress environment)
+  4. train_avse_frames.py: the final model's regime, N epochs
+  5. evaluate.py --model frames: separated-wav export + SI-SDR
+
+Prints one JSON summary; exits nonzero if the separated audio does not beat
+the noisy mixture (SI-SDR gain <= 0). Works on CPU or the TPU (run it with
+the env default backend for the hardware drive; see
+.claude/skills/verify/SKILL.md).
+
+Usage: python tools/e2e_drive.py --out /tmp/e2e [--epochs 3] [--steps 40]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+GEOM = ["--num_frames", "4", "--num_seq", "4", "-a", "4", "--fft_len", "64",
+        "--latent_chan", "8", "--fc_size", "256", "-lr", "1e-3",
+        "--framesize", "64"]
+
+
+PLATFORM = "env"  # env (hardware default, axon TPU here) | cpu
+
+
+def sh(args, **kw):
+    print(f"+ {' '.join(args)}", flush=True)
+    t0 = time.time()
+    if PLATFORM == "cpu" and args[0] == sys.executable:
+        # the axon site hook re-forces JAX_PLATFORMS, so env vars are not
+        # enough — force the backend in-process like the verify skill does
+        script, argv = args[1], args[1:]
+        args = [sys.executable, "-c",
+                "import jax; jax.config.update('jax_platforms','cpu')\n"
+                "import sys, runpy\n"
+                f"sys.argv = {argv!r}\n"
+                f"runpy.run_path({script!r}, run_name='__main__')"]
+    r = subprocess.run(args, cwd=REPO, text=True, capture_output=True, **kw)
+    sys.stdout.write(r.stdout[-2000:])
+    sys.stderr.write(r.stderr[-2000:])
+    if r.returncode != 0:
+        raise SystemExit(f"stage failed ({args[0]} {args[1] if len(args)>1 else ''})")
+    print(f"  [{time.time()-t0:.1f}s]", flush=True)
+    return r
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="/tmp/maavss_e2e")
+    p.add_argument("--videos", type=int, default=3)
+    p.add_argument("--video_frames", type=int, default=90)
+    p.add_argument("--epochs", type=int, default=3)
+    p.add_argument("--steps", type=int, default=40)
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--platform", choices=("env", "cpu"), default="env",
+                   help="env = hardware default backend (TPU here); cpu = "
+                        "force the CPU backend in every stage")
+    args = p.parse_args()
+    global PLATFORM
+    PLATFORM = args.platform
+
+    sys.path.insert(0, REPO)
+    from tools.ingest import native_bin
+
+    nb = native_bin()
+    if nb is None:
+        raise SystemExit("native ingest tool not buildable (make -C native)")
+
+    out = os.path.abspath(args.out)
+    raw = os.path.join(out, "raw")
+    proc = os.path.join(out, "proc")
+    train_dir = os.path.join(out, "train")
+    cp_dir = os.path.join(out, "checkpoints")
+    os.makedirs(raw, exist_ok=True)
+    py = sys.executable
+    t_start = time.time()
+
+    # 1. encode real video files (the decoder's self-test counterpart)
+    for i in range(args.videos):
+        sh([nb, "synth", os.path.join(raw, f"v{i}.avi"),
+            str(args.video_frames), "30", "128", "16000"])
+
+    # 2. decode + normalize into training stores
+    sh([py, "tools/ingest.py", "--data_path", raw, "--out_path", proc,
+        "--framesize", "64", "--framerate", "30", "--samplerate", "16000"])
+
+    # 3. attention precompute (random frozen ViT — announced by the script)
+    sh([py, "save_attn_videos.py", "--data_path", proc, "--chunk", "16"])
+
+    # 4. the frames regime trains FROM the attention shards: stores dir with
+    #    frames/ -> attn
+    os.makedirs(train_dir, exist_ok=True)
+    for link, target in (("frames", os.path.join(proc, "attn")),
+                         ("audio", os.path.join(proc, "audio"))):
+        lp = os.path.join(train_dir, link)
+        if not os.path.exists(lp):
+            os.symlink(target, lp)
+
+    common = GEOM + ["--data_path", train_dir, "-b", str(args.batch),
+                     "--cp_dir", cp_dir]
+    sh([py, "train_avse_frames.py", *common, "-e", str(args.epochs),
+        "-s", str(args.steps), "-v", "1", "--cb_freq", "1000"])
+
+    # 5. separate + score through the public eval CLI
+    r = sh([py, "evaluate.py", "--model", "frames", *common, "-c", "-v", "1",
+            "--log_dir", os.path.join(out, "runs")])
+    result = json.loads([ln for ln in r.stdout.splitlines()
+                         if ln.startswith("{")][-1])
+
+    summary = {
+        "e2e": "synth->ingest->attention->train_frames->separate",
+        "si_sdr_mean": result["si_sdr_mean"],
+        "si_sdr_gain_mean": result["si_sdr_gain_mean"],
+        "n_clips": result["n_clips"],
+        "wav_dir": result["wav_dir"],
+        "total_s": round(time.time() - t_start, 1),
+    }
+    print(json.dumps(summary))
+    if result["si_sdr_gain_mean"] <= 0:
+        raise SystemExit("E2E FAILED: separated audio did not beat the mixture")
+
+
+if __name__ == "__main__":
+    main()
