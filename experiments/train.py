@@ -37,7 +37,7 @@ def train(config: RunConfig = None):
     import jax
 
     trainer = Trainer(cfg, step, state, run_name=name,
-                      mode_schedule="cycle", checkpoint_policy="epoch",
+                      mode_schedule=cfg.mode_schedule or "cycle", checkpoint_policy="epoch",
                       n_chips=len(jax.devices()))
     state = trainer.fit(make_stream(cfg, dataset, tr_idx, mesh, cfg.seed),
                         make_stream(cfg, dataset, va_idx, mesh, cfg.seed + 1))

@@ -82,6 +82,11 @@ class RunConfig:
     mask_head: bool = False  # audio head predicts a complex ratio mask
     #   applied to the noisy input via the fused Pallas kernel (requires
     #   rectangular features, i.e. use_polar=False)
+    mode_schedule: Optional[str] = None  # override the regime's reference
+    #   modality curriculum: cycle | random01 | fixed (None = the script's
+    #   reference-parity default). 'fixed' trains in AV mode 2 — the
+    #   distribution the separator evaluates in (random01/cycle feed
+    #   zeroed-modality batches whose BatchNorm statistics poison eval)
 
     # ---- derived AV-alignment quantities ----
     @property
@@ -200,6 +205,10 @@ def build_parser(parser: Optional[argparse.ArgumentParser] = None) -> argparse.A
     p.add_argument("--mask_head", action="store_true",
                    help="audio head predicts a complex ratio mask applied to "
                         "the noisy input STFT (fused Pallas kernel)")
+    p.add_argument("--mode_schedule", type=str, default=None,
+                   choices=("cycle", "random01", "fixed"),
+                   help="override the regime's modality curriculum "
+                        "(default: the reference script's own schedule)")
     return p
 
 

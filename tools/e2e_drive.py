@@ -50,7 +50,9 @@ def sh(args, **kw):
                 "import sys, runpy\n"
                 f"sys.argv = {argv!r}\n"
                 f"runpy.run_path({script!r}, run_name='__main__')"]
-    r = subprocess.run(args, cwd=REPO, text=True, capture_output=True, **kw)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(args, cwd=REPO, text=True, capture_output=True, env=env, **kw)
     sys.stdout.write(r.stdout[-2000:])
     sys.stderr.write(r.stderr[-2000:])
     if r.returncode != 0:
@@ -113,8 +115,13 @@ def main() -> None:
 
     common = GEOM + ["--data_path", train_dir, "-b", str(args.batch),
                      "--cp_dir", cp_dir]
+    # fixed AV mode: separation eval runs with both modalities live, and the
+    # random01 curriculum's zeroed-input batches poison the BatchNorm running
+    # stats that eval depends on (reference quirk preserved as the script's
+    # default; overridden here because this drive SCORES the separation)
     sh([py, "train_avse_frames.py", *common, "-e", str(args.epochs),
-        "-s", str(args.steps), "-v", "1", "--cb_freq", "1000"])
+        "-s", str(args.steps), "-v", "1", "--cb_freq", "1000",
+        "--mode_schedule", "fixed"])
 
     # 5. separate + score through the public eval CLI
     r = sh([py, "evaluate.py", "--model", "frames", *common, "-c", "-v", "1",

@@ -46,7 +46,7 @@ def train(config: RunConfig = None):
         media_fn = make_fusion_media_fn(model, cfg,
                                         os.path.join(cfg.log_dir, name, "media"))
     trainer = Trainer(cfg, step, state, run_name=name, eval_fn=eval_fn,
-                      mode_schedule="cycle", checkpoint_policy="epoch",
+                      mode_schedule=cfg.mode_schedule or "cycle", checkpoint_policy="epoch",
                       n_chips=len(jax.devices()), media_fn=media_fn)
     state = trainer.fit(make_stream(cfg, dataset, tr_idx, mesh, cfg.seed),
                         make_stream(cfg, dataset, va_idx, mesh, cfg.seed + 1))

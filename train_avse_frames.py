@@ -38,7 +38,7 @@ def train(config: RunConfig = None):
     import jax
 
     trainer = Trainer(cfg, step, state, run_name=name,
-                      mode_schedule="random01", fixed_mode=2,
+                      mode_schedule=cfg.mode_schedule or "random01", fixed_mode=2,
                       checkpoint_policy="epoch", n_chips=len(jax.devices()))
     state = trainer.fit(make_stream(cfg, dataset, tr_idx, mesh, cfg.seed),
                         make_stream(cfg, dataset, va_idx, mesh, cfg.seed + 1))
