@@ -198,8 +198,10 @@ def build_parser(parser: Optional[argparse.ArgumentParser] = None) -> argparse.A
                    choices=("scan", "vectorized"),
                    help="sliding windows: sequential grad accumulation "
                         "(reference semantics) or folded into the batch (fast)")
-    p.add_argument("--rnn_cell", type=str, default="lstm", choices=("lstm", "gru"),
-                   help="fusion recurrence cell (gru: fewer sequential matmuls)")
+    p.add_argument("--rnn_cell", type=str, default="lstm",
+                   choices=("lstm", "gru", "none"),
+                   help="fusion recurrence cell (gru: fewer sequential "
+                        "matmuls; none: recurrence-free Dense mixer)")
     p.add_argument("--rnn_unroll", type=int, default=1,
                    help="lax.scan unroll factor for the recurrence")
     p.add_argument("--mask_head", action="store_true",

@@ -269,16 +269,38 @@ class BiGRU(nn.Module):
         return jnp.concatenate([fwd, bwd], axis=-1)
 
 
+class ParallelMixer(nn.Module):
+    """Recurrence-free stand-in for the fusion Bi-RNN: one Dense projection
+    to the same [B, T, 2H] output shape, fully parallel on the MXU.
+
+    Product option (`--rnn_cell none`) and the decisive ceiling ablation: the
+    sequential scan is the fusion step's residual iff replacing it with this
+    collapses the step time (see BASELINE.md). No temporal mixing — the
+    downstream flatten+FC layers still see all timesteps."""
+
+    hidden: int
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Dense(2 * self.hidden, use_bias=self.use_bias,
+                        dtype=self.dtype)(x)
+
+
 def make_birnn(cell: str, hidden: int, use_bias: bool = False,
                dtype: jnp.dtype = jnp.float32, unroll: int = 1, name: str = "lstm"):
     """Bidirectional recurrence factory for the fusion cores: 'lstm'
-    (reference parity) or 'gru' (north-star option, fewer sequential matmuls).
-    The flax module name stays 'lstm' either way so checkpoints keep one
-    param-tree layout per cell choice."""
+    (reference parity), 'gru' (north-star option, fewer sequential matmuls),
+    or 'none' (recurrence-free Dense mixer). The flax module name stays
+    'lstm' either way so checkpoints keep one param-tree layout per cell
+    choice."""
     if cell == "lstm":
         return BiLSTM(hidden, use_bias=use_bias, dtype=dtype, unroll=unroll,
                       name=name)
     if cell == "gru":
         return BiGRU(hidden, use_bias=use_bias, dtype=dtype, unroll=unroll,
                      name=name)
-    raise ValueError(f"unknown rnn cell {cell!r} (lstm|gru)")
+    if cell == "none":
+        return ParallelMixer(hidden, use_bias=use_bias, dtype=dtype, name=name)
+    raise ValueError(f"unknown rnn cell {cell!r} (lstm|gru|none)")

@@ -195,3 +195,21 @@ def test_magphase_polar_vjps():
     _, vjp2_ref = jax.vjp(jnp_polar, mp)
     np.testing.assert_allclose(np.asarray(vjp2(g)[0]), np.asarray(vjp2_ref(g)[0]),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_fusion_none_cell_forward_and_grad():
+    """--rnn_cell none: recurrence-free Dense mixer (the ceiling ablation and
+    a product option) — same output shapes, gradients flow."""
+    _, model, vs, x_a, x_v = _tiny_fusion(rnn_cell="none")
+    # one Dense kernel instead of fwd/bwd scan cells
+    assert "kernel" in vs["params"]["lstm"]["Dense_0"]
+
+    def loss(params):
+        ya, yv, _ = model.apply({"params": params, "batch_stats": vs["batch_stats"]},
+                                x_a, x_v)
+        return jnp.mean(ya**2) + jnp.mean(yv**2)
+
+    l, g = jax.value_and_grad(loss)(vs["params"])
+    assert np.isfinite(float(l))
+    gn = float(jnp.sum(jnp.abs(g["lstm"]["Dense_0"]["kernel"])))
+    assert np.isfinite(gn) and gn > 0
