@@ -118,20 +118,27 @@ def measure_jax_clips_per_sec(batch_size: int, steps: int = 50, warmup: int = 5,
     rng = jax.random.PRNGKey(0)
     mode = jnp.int32(2)
 
+    # Timing windows are closed by a HOST FETCH of the final loss, never by
+    # block_until_ready: through the axon relay, block_until_ready returns
+    # before remote execution finishes (measured: a data-chained 8192^3
+    # matmul "completed" at 25,000+ TFLOP/s, 150x the v5e's physical peak,
+    # while the fetch-closed chain reads 151 TFLOP/s = 76% of peak). Fetching
+    # the value forces the chain of donated-state steps to really finish.
     for _ in range(warmup):
         state, metrics = step(state, batch, rng, mode)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
 
     window_cps = []
     for w in range(windows):
         t0 = time.perf_counter()
         for _ in range(steps):
             state, metrics = step(state, batch, rng, mode)
-        jax.block_until_ready(metrics["loss"])
+        loss = float(metrics["loss"])  # host fetch closes the window
         dt = time.perf_counter() - t0
         cps = batch_size * steps / dt / n_dev
         window_cps.append(cps)
-        log(f"bench: window {w}: {cps:.1f} clips/s/chip ({dt/steps*1e3:.2f} ms/step)")
+        log(f"bench: window {w}: {cps:.1f} clips/s/chip "
+            f"({dt/steps*1e3:.2f} ms/step, loss {loss:.5f})")
 
     med = statistics.median(window_cps)
     spread = (max(window_cps) - min(window_cps)) / med if med else 0.0

@@ -25,6 +25,23 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 
+def _log_wandb_artifact(path: str, key: str) -> None:
+    """Upload a clip-index cache file as a wandb Artifact when a run is
+    active (parity: av_dataset.py:123-131). No-op (and never fatal) when
+    wandb is absent, disabled, or offline — wandb stays opt-in here."""
+    try:
+        import sys
+
+        wandb = sys.modules.get("wandb")
+        if wandb is None or wandb.run is None:
+            return
+        art = wandb.Artifact(f"clip_index_{key}", type="dataset-index")
+        art.add_file(path)
+        wandb.run.log_artifact(art)
+    except Exception:
+        pass  # artifact upload is best-effort telemetry, never breaks builds
+
+
 def resample_video_idx(num_frames: int, original_fps: float, new_fps: float) -> np.ndarray:
     """Frame indices mapping an `original_fps` stream onto `new_fps` ticks
     (video_utils_custom.py:272-282 semantics)."""
@@ -95,6 +112,8 @@ class ClipIndex:
         return v, self._frame_maps[v][window]
 
     # -- cache (utilities.py:129-163: keyed by [clip_len, frame_hop, framerate])
+    # (artifact logging below: av_dataset.py:123-131 uploads the clip index
+    # as a wandb Artifact; mirrored here whenever a wandb run is active)
     def cache_key(self) -> str:
         meta = {
             "clip_len": self.clip_len, "frame_hop": self.frame_hop,
@@ -108,6 +127,7 @@ class ClipIndex:
         path = os.path.join(cache_dir, f"clip_index_{self.cache_key()}.pkl")
         with open(path, "wb") as f:
             pickle.dump(self, f)
+        _log_wandb_artifact(path, self.cache_key())
         return path
 
     @staticmethod
