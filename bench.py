@@ -105,8 +105,15 @@ def measure_jax_clips_per_sec(batch_size: int, steps: int = 50, warmup: int = 5,
 
     mesh = make_mesh() if n_dev > 1 else None
     step_kw = {}
+    window_mode = None
     if regime == "fusion":
-        step_kw["window_mode"] = os.environ.get("MAAVSS_BENCH_WINDOW_MODE", "scan")
+        # default: vectorized — the tuned product mode (windows folded into
+        # the batch; mathematically identical to scan up to BatchNorm batch
+        # composition). Measured -16% step time vs scan under fetch-closed
+        # timing (BASELINE.md); scan remains RunConfig's default for exact
+        # reference semantics.
+        window_mode = os.environ.get("MAAVSS_BENCH_WINDOW_MODE", "vectorized")
+        step_kw["window_mode"] = window_mode
     step = make_step(model, cfg, mesh=mesh, **step_kw)
     log(f"bench: regime={regime} devices={n_dev} batch={batch_size} "
         f"platform={jax.devices()[0].platform}")
@@ -142,7 +149,7 @@ def measure_jax_clips_per_sec(batch_size: int, steps: int = 50, warmup: int = 5,
 
     med = statistics.median(window_cps)
     spread = (max(window_cps) - min(window_cps)) / med if med else 0.0
-    return med, n_dev, batch_size / med, spread, window_cps
+    return med, n_dev, batch_size / med, spread, window_cps, window_mode
 
 
 def main() -> None:
@@ -152,13 +159,16 @@ def main() -> None:
     steps = int(os.environ.get("MAAVSS_BENCH_STEPS", "50"))
     windows = int(os.environ.get("MAAVSS_BENCH_WINDOWS", "3"))
     regime = os.environ.get("MAAVSS_BENCH_REGIME", "fusion")
-    clips_per_chip, n_dev, step_s, spread, window_cps = measure_jax_clips_per_sec(
-        batch, steps=steps, windows=windows, dtype=dtype, regime=regime)
+    clips_per_chip, n_dev, step_s, spread, window_cps, window_mode = \
+        measure_jax_clips_per_sec(batch, steps=steps, windows=windows,
+                                  dtype=dtype, regime=regime)
     log(f"bench: jax median {clips_per_chip:.2f} clips/s/chip "
         f"({step_s*1e3:.2f} ms/step, spread {spread*100:.1f}%)")
 
     vs_baseline = None
     try:
+        if os.environ.get("MAAVSS_BENCH_SKIP_BASELINE") == "1":
+            raise RuntimeError("baseline skipped by env")
         from maavss_tpu.config import RunConfig
         from benchmarks.torch_baseline import measure_torch_cpu_clips_per_sec
 
@@ -177,6 +187,7 @@ def main() -> None:
         "spread": round(spread, 4),
         "windows": [round(w, 1) for w in window_cps],
         "regime": regime,
+        "window_mode": window_mode,
     }))
 
 

@@ -1,6 +1,7 @@
 """Conv-variant model, multi-host helpers, profiling timers."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -68,3 +69,32 @@ def test_phase_timer():
     assert 0.005 < s["time_a"] < 0.1
     t.reset()
     assert t.summary() == {}
+
+
+@pytest.mark.slow  # ~8 min: sharded vectorized-step compile on 8 virtual devices
+def test_bench_json_contract(tmp_path):
+    """bench.py prints exactly one JSON line with the driver's contract keys
+    (tiny CPU run, torch baseline skipped)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.update({"MAAVSS_BENCH_BATCH": "8", "MAAVSS_BENCH_STEPS": "2",
+                "MAAVSS_BENCH_WINDOWS": "2", "MAAVSS_BENCH_DTYPE": "float32",
+                "MAAVSS_BENCH_SKIP_BASELINE": "1",
+                "PYTHONPATH": repo})
+    code = ("import jax; jax.config.update('jax_platforms','cpu');"
+            "import runpy; runpy.run_path('bench.py', run_name='__main__')")
+    r = subprocess.run([sys.executable, "-c", code], cwd=repo, env=env,
+                       capture_output=True, text=True, timeout=540)
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+    assert len(lines) == 1, r.stdout
+    d = json.loads(lines[0])
+    assert d["metric"] == "av_clips_per_sec_per_chip"
+    assert d["unit"] == "clips/s/chip"
+    assert d["value"] > 0 and d["spread"] >= 0
+    assert d["window_mode"] == "vectorized" and len(d["windows"]) == 2
