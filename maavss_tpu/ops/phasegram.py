@@ -72,7 +72,10 @@ def phasegram_window(p_flat: jnp.ndarray, diff: bool = True,
         pg = p_flat
     pg = pg[..., None, :, :]
     if normalize:
-        pg = pg * (1.0 / jnp.max(jnp.abs(pg)))
+        # eps guard: constant (e.g. all-zero) frames have a zero phasegram and
+        # the reference's unguarded `p / torch.max(torch.abs(p))`
+        # (utilities.py:227) would emit NaN; documented deviation
+        pg = pg * (1.0 / jnp.maximum(jnp.max(jnp.abs(pg)), 1e-12))
     return pg
 
 
@@ -111,5 +114,6 @@ def video_phasegram(
         phasegram = p_flat
     phasegram = phasegram[..., None, :, :]  # channel dim -> [B, 1, T, HW]
     if normalize:
-        phasegram = phasegram * (1.0 / jnp.max(jnp.abs(phasegram)))
+        # eps guard for constant frames (see phasegram_window)
+        phasegram = phasegram * (1.0 / jnp.maximum(jnp.max(jnp.abs(phasegram)), 1e-12))
     return phasegram

@@ -109,3 +109,45 @@ def test_frames_separator_stitches_middle_windows():
     assert out["audio_out"].shape == batch["audio"].shape
     for k in ("si_sdr", "si_sdr_noisy", "si_sdr_gain"):
         assert np.all(np.isfinite(np.asarray(out[k]))), k
+
+
+def test_separate_cli_arbitrary_length(tmp_path):
+    """separate.py: tile an arbitrary-length wav through the compiled
+    separator and write the separated file (random weights: smoke +
+    contract)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from maavss_tpu.data.wavio import write_wav
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sr = 16000
+    n = 3 * 4224 + 1234  # deliberately not a clip multiple
+    rng = np.random.default_rng(0)
+    wav = (0.1 * rng.standard_normal(n)).astype(np.float32)
+    mix = str(tmp_path / "mix.wav")
+    write_wav(mix, wav, sr)
+    out = str(tmp_path / "sep.wav")
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo
+    code = ("import jax; jax.config.update('jax_platforms','cpu');"
+            "import runpy, sys; runpy.run_path('separate.py', run_name='__main__')")
+    argv = ["separate.py", "--audio", mix, "--out", out, "--reference", mix,
+            "--num_frames", "4", "--num_seq", "4", "-a", "4", "--fft_len", "64",
+            "--p_size", "16", "--latent_chan", "8", "--fc_size", "256", "-b", "2"]
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.argv = " + repr(argv) + ";" + code],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=540)
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
+    d = json.loads(line)
+    assert d["n_samples"] == n and os.path.exists(out)
+    assert np.isfinite(d["si_sdr"])
+
+    from maavss_tpu.data.wavio import read_wav
+    got, got_sr = read_wav(out)
+    assert got_sr == sr and got.shape[-1] == n
