@@ -149,7 +149,8 @@ def measure_jax_clips_per_sec(batch_size: int, steps: int = 50, warmup: int = 5,
 
     med = statistics.median(window_cps)
     spread = (max(window_cps) - min(window_cps)) / med if med else 0.0
-    return med, n_dev, batch_size / med, spread, window_cps, window_mode
+    # per-step time: med clips/s/chip over n_dev chips moves batch_size clips
+    return med, n_dev, batch_size / (med * n_dev), spread, window_cps, window_mode
 
 
 def main() -> None:

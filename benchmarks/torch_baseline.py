@@ -106,17 +106,21 @@ def load_flax_fusion_params(torch_model, params, batch_stats=None) -> None:
         return torch.as_tensor(np.asarray(x).copy())
 
     def load_stack(seq, p, bs):
-        ci = bi = 0
+        ci = cti = bi = 0
         for mod in seq:
             if isinstance(mod, (nn.Conv2d, nn.ConvTranspose2d)):
-                k = np.asarray(p[f"Conv_{ci}"]["kernel"])
+                # flax auto-names per class with separate counters
+                if isinstance(mod, nn.Conv2d):
+                    key, ci = f"Conv_{ci}", ci + 1
+                else:
+                    key, cti = f"ConvTranspose_{cti}", cti + 1
+                k = np.asarray(p[key]["kernel"])
                 if isinstance(mod, nn.Conv2d):
                     mod.weight.copy_(t(k.transpose(3, 2, 0, 1)))
                 else:  # flax ConvTranspose kernel is unflipped [kh,kw,in,out]
                     mod.weight.copy_(t(k[::-1, ::-1].transpose(2, 3, 0, 1)))
                 if mod.bias is not None:
-                    mod.bias.copy_(t(p[f"Conv_{ci}"]["bias"]))
-                ci += 1
+                    mod.bias.copy_(t(p[key]["bias"]))
             elif isinstance(mod, nn.BatchNorm2d):
                 bn = p[f"TorchBatchNorm_{bi}"]["BatchNorm_0"]
                 mod.weight.copy_(t(bn["scale"]))

@@ -65,7 +65,11 @@ def main() -> None:
     model_kind = "fusion"
     if "--model" in sys.argv:
         i = sys.argv.index("--model")
+        if i + 1 >= len(sys.argv):
+            raise SystemExit("--model needs a value: fusion | frames")
         model_kind = sys.argv[i + 1]
+        if model_kind not in ("fusion", "frames"):
+            raise SystemExit(f"unknown --model {model_kind!r} (fusion | frames)")
         del sys.argv[i:i + 2]
     cfg = model_args()
     init_runtime()

@@ -88,6 +88,12 @@ def main() -> None:
                 fr = np.asarray(resize_bilinear(jnp.asarray(fr), (fsize, fsize)))
             frames[k] = fr
 
+    # the separator reuses the training-time denoising setup (input = STFT +
+    # N(0, noise_scalar)); when separating a user's real mixture no synthetic
+    # noise must be injected — zero it unless explicitly requested
+    if "--noise_scalar" not in rest:
+        cfg = cfg.replace(noise_scalar=0.0)
+
     b = cfg.batch_size
     model, state = build_fusion(cfg, b)
     if cfg.c or cfg.checkpoint:

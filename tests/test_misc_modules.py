@@ -81,7 +81,8 @@ def test_bench_json_contract(tmp_path):
     import sys
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env = dict(os.environ)
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith("MAAVSS_BENCH_")}  # isolate from dev sweeps
     env.update({"MAAVSS_BENCH_BATCH": "8", "MAAVSS_BENCH_STEPS": "2",
                 "MAAVSS_BENCH_WINDOWS": "2", "MAAVSS_BENCH_DTYPE": "float32",
                 "MAAVSS_BENCH_SKIP_BASELINE": "1",
