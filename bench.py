@@ -92,7 +92,8 @@ def measure_jax_clips_per_sec(batch_size: int, steps: int = 50, warmup: int = 5,
 
     init_runtime()
     n_dev = len(jax.devices())
-    cfg = RunConfig(batch_size=batch_size, dtype=dtype)
+    cfg = RunConfig(batch_size=batch_size, dtype=dtype,
+                    remat=os.environ.get("MAAVSS_BENCH_REMAT", "0") == "1")
     if regime == "frames":
         model, variables, make_step = _build_frames(cfg, batch_size)
         batch = synthetic_av_batch(cfg, batch_size, seed=0,

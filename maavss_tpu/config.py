@@ -82,6 +82,9 @@ class RunConfig:
     mask_head: bool = False  # audio head predicts a complex ratio mask
     #   applied to the noisy input via the fused Pallas kernel (requires
     #   rectangular features, i.e. use_polar=False)
+    remat: bool = False  # rematerialize model forwards inside the windowed
+    #   grad (jax.checkpoint): trades ~1/3 more FLOPs for activation memory,
+    #   lifting the frames regime past its b128 HBM ceiling
     mode_schedule: Optional[str] = None  # override the regime's reference
     #   modality curriculum: cycle | random01 | fixed (None = the script's
     #   reference-parity default). 'fixed' trains in AV mode 2 — the
@@ -207,6 +210,9 @@ def build_parser(parser: Optional[argparse.ArgumentParser] = None) -> argparse.A
     p.add_argument("--mask_head", action="store_true",
                    help="audio head predicts a complex ratio mask applied to "
                         "the noisy input STFT (fused Pallas kernel)")
+    p.add_argument("--remat", action="store_true",
+                   help="jax.checkpoint the model forward in the windowed "
+                        "grad (activation memory for ~1/3 more FLOPs)")
     p.add_argument("--mode_schedule", type=str, default=None,
                    choices=("cycle", "random01", "fixed"),
                    help="override the regime's modality curriculum "

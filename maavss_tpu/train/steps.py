@@ -48,6 +48,19 @@ def mse(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(jnp.square(a - b))
 
 
+def _train_apply(model, remat: bool):
+    """The train-mode forward used inside windowed grads; `remat` wraps it in
+    jax.checkpoint so the backward recomputes activations instead of holding
+    them (lifts the frames regime past its b128 HBM ceiling at ~1/3 extra
+    FLOPs). Gradients are bitwise-equivalent (tests/test_train_steps.py)."""
+
+    def fwd(params, bstats, x_a, x_v):
+        return model.apply({"params": params, "batch_stats": bstats},
+                           x_a, x_v, train=True, mutable=["batch_stats"])
+
+    return jax.checkpoint(fwd) if remat else fwd
+
+
 
 def frames_f32(frames: jnp.ndarray) -> jnp.ndarray:
     """uint8 [0,255] (the wire format, 4x cheaper host->device) or float
@@ -148,6 +161,7 @@ def make_fusion_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
     coeff, obj_zeros = cfg.loss_coeff, cfg.objective_zeros
     if window_mode not in ("scan", "vectorized"):
         raise ValueError(f"unknown window_mode {window_mode}")
+    apply_train = _train_apply(model, cfg.remat)
 
     def step_vectorized(state: TrainState, batch, rng: jax.Array,
                         mode: jnp.ndarray):
@@ -177,10 +191,8 @@ def make_fusion_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
         ys = fold(y_full)
 
         def loss_fn(params, bstats):
-            (yh_a, yh_v, _), mut = model.apply(
-                {"params": params, "batch_stats": bstats},
-                xs * a_mask, y_pg * v_mask, train=True, mutable=["batch_stats"],
-            )
+            (yh_a, yh_v, _), mut = apply_train(
+                params, bstats, xs * a_mask, y_pg * v_mask)
             a_loss = mse(yh_a, ys * ya_mask)
             v_loss = mse(yh_v, y_pg)
             loss = a_loss + coeff * v_loss
@@ -217,10 +229,8 @@ def make_fusion_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
             y_pg = phasegram_window(pw)
             xs = jax.lax.dynamic_slice_in_dim(x_full, j * a, nf * a, axis=2)
             ys = jax.lax.dynamic_slice_in_dim(y_full, j * a, nf * a, axis=2)
-            (yh_a, yh_v, _), mut = model.apply(
-                {"params": params, "batch_stats": bstats},
-                xs * a_mask, y_pg * v_mask, train=True, mutable=["batch_stats"],
-            )
+            (yh_a, yh_v, _), mut = apply_train(
+                params, bstats, xs * a_mask, y_pg * v_mask)
             a_loss = mse(yh_a, ys * ya_mask)
             v_loss = mse(yh_v, y_pg)
             loss = a_loss + coeff * v_loss
@@ -245,6 +255,7 @@ def make_fusion_middle_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None):
     a, nf, ns = cfg.hops_per_frame, cfg.num_frames, cfg.num_seq
     coeff = cfg.loss_coeff
     idx_middle = (ns - 1) // 2
+    apply_train = _train_apply(model, cfg.remat)
 
     def step(state: TrainState, batch, rng: jax.Array, mode: jnp.ndarray):
         mode = jnp.asarray(mode)
@@ -264,10 +275,8 @@ def make_fusion_middle_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None):
             xs = jax.lax.dynamic_slice_in_dim(x_full, j * a, nf * a, axis=2)
             ys_mid = jax.lax.dynamic_slice_in_dim(
                 y_full, j * a + mid_lo, a, axis=2)
-            (yh_a, yh_v, _), mut = model.apply(
-                {"params": params, "batch_stats": bstats},
-                xs * a_mask, y_pg * v_mask, train=True, mutable=["batch_stats"],
-            )
+            (yh_a, yh_v, _), mut = apply_train(
+                params, bstats, xs * a_mask, y_pg * v_mask)
             a_loss = mse(yh_a[:, :, mid_lo:mid_hi], ys_mid)
             v_loss = mse(yh_v[:, :, idx_middle], y_pg[:, :, idx_middle])
             loss = a_loss + coeff * v_loss
@@ -294,6 +303,7 @@ def make_frames_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None):
     a, nf, ns = cfg.hops_per_frame, cfg.num_frames, cfg.num_seq
     coeff, obj_zeros = cfg.loss_coeff, cfg.objective_zeros
     idx_middle = (ns - 1) // 2  # train_avse_frames.py:105
+    apply_train = _train_apply(model, cfg.remat)
 
     def step(state: TrainState, batch, rng: jax.Array, mode: jnp.ndarray):
         mode = jnp.asarray(mode)
@@ -314,10 +324,8 @@ def make_frames_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None):
             ys = jax.lax.dynamic_slice_in_dim(
                 y_full, (j + idx_middle) * a, a, axis=2
             )
-            (yh_a, yh_v, _), mut = model.apply(
-                {"params": params, "batch_stats": bstats},
-                xs * a_in_mask, x_v * v_in_mask, train=True, mutable=["batch_stats"],
-            )
+            (yh_a, yh_v, _), mut = apply_train(
+                params, bstats, xs * a_in_mask, x_v * v_in_mask)
             a_loss = mse(yh_a, ys * ya_mask)
             v_loss = mse(yh_v, y_v * yv_mask)
             loss = a_loss + coeff * v_loss

@@ -197,3 +197,41 @@ class TestAEsSteps:
         batch = {"frames": synthetic_av_batch(CFG, 8, seed=4)["frames"]}
         state, metrics = step(state, batch, jax.random.PRNGKey(0), jnp.int32(2))
         assert np.isfinite(float(metrics["loss"]))
+
+
+def test_remat_step_matches_plain():
+    """--remat (jax.checkpoint around the windowed forward) must not change
+    the math — same loss and same updated params as the plain step."""
+    from maavss_tpu.data.synthetic import synthetic_av_batch
+    from maavss_tpu.models.fusion import AVFusionModel
+    from maavss_tpu.train.state import create_train_state, make_optimizer
+    from maavss_tpu.train.steps import make_fusion_step
+
+    cfg = RunConfig(num_frames=4, num_seq=4, hops_per_frame=4, fft_len=64,
+                    p_size=16, latent_chan=8, fc_size=256, learning_rate=1e-3,
+                    batch_size=2)
+    t_stft = cfg.hops_per_frame * cfg.num_frames
+    model = AVFusionModel(
+        stft_shape=(2, 2, t_stft, cfg.fft_len // 2),
+        pgram_shape=(2, 1, cfg.num_frames, cfg.p_size**2),
+        latent_channels=cfg.latent_chan, fc_size=cfg.fc_size)
+    x_a = jnp.zeros(model.stft_shape, jnp.float32)
+    x_v = jnp.zeros(model.pgram_shape, jnp.float32)
+    vs = model.init(jax.random.PRNGKey(0), x_a, x_v, method=model.init_all)
+    batch = jax.tree_util.tree_map(jnp.asarray, synthetic_av_batch(cfg, 2, seed=0))
+    rng = jax.random.PRNGKey(0)
+
+    outs = {}
+    for remat in (False, True):
+        state = create_train_state(
+            jax.tree_util.tree_map(jnp.copy, vs),
+            make_optimizer(cfg.learning_rate, "adam"))
+        step = make_fusion_step(model, cfg.replace(remat=remat))
+        state, metrics = step(state, batch, rng, jnp.int32(2))
+        outs[remat] = (float(metrics["loss"]), state.params)
+
+    assert outs[False][0] == pytest.approx(outs[True][0], rel=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(outs[False][1]),
+                    jax.tree_util.tree_leaves(outs[True][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
