@@ -115,12 +115,25 @@ def measure_jax_clips_per_sec(batch_size: int, steps: int = 50, warmup: int = 5,
         # reference semantics.
         window_mode = os.environ.get("MAAVSS_BENCH_WINDOW_MODE", "vectorized")
         step_kw["window_mode"] = window_mode
+    # MAAVSS_BENCH_MULTISTEP=K: K optimizer steps per dispatch
+    # (--steps_per_dispatch, lax.scan over K staged batches)
+    k_steps = int(os.environ.get("MAAVSS_BENCH_MULTISTEP", "1"))
+    if k_steps > 1:
+        if steps % k_steps:
+            raise SystemExit(f"MAAVSS_BENCH_STEPS={steps} must be a multiple "
+                             f"of MAAVSS_BENCH_MULTISTEP={k_steps}")
+        step_kw["k_steps"] = k_steps
     step = make_step(model, cfg, mesh=mesh, **step_kw)
     log(f"bench: regime={regime} devices={n_dev} batch={batch_size} "
-        f"platform={jax.devices()[0].platform}")
+        f"multistep={k_steps} platform={jax.devices()[0].platform}")
 
+    if k_steps > 1:
+        import numpy as _np
+
+        batch = jax.tree_util.tree_map(
+            lambda x: _np.stack([_np.asarray(x)] * k_steps), batch)
     if mesh is not None:
-        batch = shard_batch(mesh, batch)
+        batch = shard_batch(mesh, batch, stacked=k_steps > 1)
     else:
         batch = jax.tree_util.tree_map(jax.device_put, batch)
     rng = jax.random.PRNGKey(0)
@@ -132,16 +145,22 @@ def measure_jax_clips_per_sec(batch_size: int, steps: int = 50, warmup: int = 5,
     # matmul "completed" at 25,000+ TFLOP/s, 150x the v5e's physical peak,
     # while the fetch-closed chain reads 151 TFLOP/s = 76% of peak). Fetching
     # the value forces the chain of donated-state steps to really finish.
+    def fetch_loss(m):
+        # stacked [K] metrics under multistep; fetch the last step's loss
+        v = m["loss"]
+        return float(v[-1] if getattr(v, "ndim", 0) else v)
+
     for _ in range(warmup):
         state, metrics = step(state, batch, rng, mode)
-    float(metrics["loss"])
+    fetch_loss(metrics)
 
+    dispatches = steps // k_steps
     window_cps = []
     for w in range(windows):
         t0 = time.perf_counter()
-        for _ in range(steps):
+        for _ in range(dispatches):
             state, metrics = step(state, batch, rng, mode)
-        loss = float(metrics["loss"])  # host fetch closes the window
+        loss = fetch_loss(metrics)  # host fetch closes the window
         dt = time.perf_counter() - t0
         cps = batch_size * steps / dt / n_dev
         window_cps.append(cps)
@@ -151,7 +170,8 @@ def measure_jax_clips_per_sec(batch_size: int, steps: int = 50, warmup: int = 5,
     med = statistics.median(window_cps)
     spread = (max(window_cps) - min(window_cps)) / med if med else 0.0
     # per-step time: med clips/s/chip over n_dev chips moves batch_size clips
-    return med, n_dev, batch_size / (med * n_dev), spread, window_cps, window_mode
+    return med, n_dev, batch_size / (med * n_dev), spread, window_cps, \
+        window_mode, k_steps
 
 
 def main() -> None:
@@ -159,9 +179,16 @@ def main() -> None:
     batch = int(os.environ.get("MAAVSS_BENCH_BATCH", "128"))
     dtype = os.environ.get("MAAVSS_BENCH_DTYPE", "bfloat16")
     steps = int(os.environ.get("MAAVSS_BENCH_STEPS", "50"))
-    windows = int(os.environ.get("MAAVSS_BENCH_WINDOWS", "3"))
+    windows_raw = os.environ.get("MAAVSS_BENCH_WINDOWS", "3")
+    try:
+        windows = int(windows_raw)
+    except ValueError:
+        raise SystemExit(
+            f"MAAVSS_BENCH_WINDOWS={windows_raw!r} must be an integer window "
+            "COUNT; the window MODE (scan|vectorized) moved to "
+            "MAAVSS_BENCH_WINDOW_MODE")
     regime = os.environ.get("MAAVSS_BENCH_REGIME", "fusion")
-    clips_per_chip, n_dev, step_s, spread, window_cps, window_mode = \
+    clips_per_chip, n_dev, step_s, spread, window_cps, window_mode, k_steps = \
         measure_jax_clips_per_sec(batch, steps=steps, windows=windows,
                                   dtype=dtype, regime=regime)
     log(f"bench: jax median {clips_per_chip:.2f} clips/s/chip "
@@ -190,6 +217,7 @@ def main() -> None:
         "windows": [round(w, 1) for w in window_cps],
         "regime": regime,
         "window_mode": window_mode,
+        "multistep": k_steps,
     }))
 
 

@@ -56,22 +56,18 @@ def compare_wavs(est_path: str, ref_path: str) -> None:
 
 
 def main() -> None:
-    import sys
+    import argparse
 
-    if "--compare" in sys.argv:
-        i = sys.argv.index("--compare")
-        compare_wavs(sys.argv[i + 1], sys.argv[i + 2])
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--compare", nargs=2, metavar=("EST", "REF"), default=None,
+                     help="score SI-SDR/SDR between two wav files and exit")
+    pre.add_argument("--model", choices=("fusion", "frames"), default="fusion")
+    own, rest = pre.parse_known_args()
+    if own.compare is not None:
+        compare_wavs(own.compare[0], own.compare[1])
         return
-    model_kind = "fusion"
-    if "--model" in sys.argv:
-        i = sys.argv.index("--model")
-        if i + 1 >= len(sys.argv):
-            raise SystemExit("--model needs a value: fusion | frames")
-        model_kind = sys.argv[i + 1]
-        if model_kind not in ("fusion", "frames"):
-            raise SystemExit(f"unknown --model {model_kind!r} (fusion | frames)")
-        del sys.argv[i:i + 2]
-    cfg = model_args()
+    model_kind = own.model
+    cfg = model_args(rest)
     init_runtime()
     frames, audio = load_stores(cfg)
     dataset = AVDataset(cfg, frames, audio, cfg.num_frames + cfg.num_seq)

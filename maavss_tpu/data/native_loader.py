@@ -153,7 +153,18 @@ class NativeAVLoader:
         try:
             self.close()
         except Exception as e:  # a wedged C++ worker would surface here
-            import warnings
+            # during interpreter shutdown the warnings machinery itself may be
+            # torn down; the diagnostic must never raise from __del__
+            try:
+                import sys
+                import warnings
 
-            warnings.warn(f"native loader shutdown failed: {e!r}",
-                          RuntimeWarning, stacklevel=1)
+                warnings.warn(f"native loader shutdown failed: {e!r}",
+                              RuntimeWarning, stacklevel=1)
+            except Exception:
+                try:
+                    if sys.stderr is not None:
+                        sys.stderr.write(
+                            f"native loader shutdown failed: {e!r}\n")
+                except Exception:
+                    pass

@@ -102,10 +102,10 @@ class ConvStack(nn.Module):
 class LSTM(nn.Module):
     """Unidirectional LSTM over [B, T, D] -> [B, T, H] via lax.scan.
 
-    `unroll` is exposed as a tuning knob; measured on v5e, unroll=4 was
-    SLOWER than 1 (2.62 vs 1.77 ms/step for the fusion step at bf16/b128 —
-    the unrolled body bloats the program without helping the MXU), so the
-    default stays 1."""
+    `unroll` is a tuning knob (--rnn_unroll). Fetch-closed v5e numbers
+    (BASELINE.md, bf16/b128 fusion step): unroll 8 is ~5% faster than 1;
+    combined with vectorized windows it gave the best measured step. The
+    default stays 1 (geometry-dependent; see the BASELINE table)."""
 
     hidden: int
     use_bias: bool = False

@@ -8,10 +8,10 @@ resident in VMEM across all T steps, gates fuse with the cell update, and
 only two kernels run per training step (forward + backward) instead of ~4T
 XLA ops.
 
-Measured on v5e (fusion step, bf16, b128): 61.4k clips/s/chip at 2.09 ms/step
-vs 72.4k at 1.77 ms for the XLA lax.scan path — XLA's pipelined scan still
-wins there, so scan stays the default (MAAVSS_LSTM=pallas opts in; other
-geometries may differ).
+Scan stays the default; MAAVSS_LSTM=pallas opts in. The round-1 A/B that
+favored scan was measured with an unfaithful timing protocol and is void
+(BASELINE.md "measurement-integrity"); the honest fetch-closed comparison at
+the bench geometry is recorded in BASELINE.md's round-3 kernel table.
 
 Contract (matches models/layers.LSTM's scan exactly, incl. torch gate order):
     ys = pallas_lstm(xw, w_h)

@@ -18,8 +18,8 @@ import jax.numpy as jnp
 from maavss_tpu.config import RunConfig
 from maavss_tpu.ops.metrics import si_sdr
 from maavss_tpu.ops.phasegram import phasegram_cumsum, phasegram_window
-from maavss_tpu.ops.stft import istft_features, stft_features
-from maavss_tpu.train.steps import frames_f32
+from maavss_tpu.ops.stft import istft_features
+from maavss_tpu.train.steps import _prep_stft_pair, frames_f32
 from maavss_tpu.train.state import TrainState
 
 
@@ -40,9 +40,12 @@ def make_frames_separator(model, cfg: RunConfig):
 
     @jax.jit
     def separate(state: TrainState, batch, rng: jax.Array) -> Dict[str, jnp.ndarray]:
-        y_full = stft_features(batch["audio"], cfg.fft_len, cfg.hop,
-                               normalized=cfg.normalize_fft, trim_end=False)
-        x_full = y_full + jax.random.normal(rng, y_full.shape, y_full.dtype) * cfg.noise_scalar
+        # identical feature prep to make_frames_step (polar / per-example
+        # max-norm flags included) — a model trained with --use_polar or
+        # --normalize_output_fft must be evaluated on matching features
+        x_full, y_full = _prep_stft_pair(
+            batch["audio"], cfg, rng, trim_end=False,
+            max_norm=cfg.normalize_output_fft)
         frames = frames_f32(batch["frames"])[:, :, None]  # [B,T,1,H,W]
 
         def body(yh_full, j):
@@ -61,10 +64,10 @@ def make_frames_separator(model, cfg: RunConfig):
         length = batch["audio"].shape[-1]
         yh_audio = istft_features(yh_full, cfg.fft_len, cfg.hop,
                                   normalized=cfg.normalize_fft, trim_end=False,
-                                  length=length)
+                                  polar=cfg.use_polar, length=length)
         x_audio = istft_features(x_full, cfg.fft_len, cfg.hop,
                                  normalized=cfg.normalize_fft, trim_end=False,
-                                 length=length)
+                                 polar=cfg.use_polar, length=length)
         sdr_out = si_sdr(yh_audio, batch["audio"])
         sdr_in = si_sdr(x_audio, batch["audio"])
         return {"audio_out": yh_audio, "audio_in": x_audio,
@@ -86,10 +89,11 @@ def make_separator(model, cfg: RunConfig):
 
     @jax.jit
     def separate(state: TrainState, batch, rng: jax.Array) -> Dict[str, jnp.ndarray]:
-        y_full = stft_features(batch["audio"], cfg.fft_len, cfg.hop,
-                               normalized=cfg.normalize_fft, trim_end=True,
-                               polar=cfg.use_polar)
-        x_full = y_full + jax.random.normal(rng, y_full.shape, y_full.dtype) * cfg.noise_scalar
+        # identical feature prep to make_fusion_step (incl. per-example
+        # max-norm under --normalize_output_fft)
+        x_full, y_full = _prep_stft_pair(
+            batch["audio"], cfg, rng, trim_end=True,
+            max_norm=cfg.normalize_output_fft)
         frames = frames_f32(batch["frames"])
         resize = None if frames.shape[-1] == cfg.p_size else (cfg.p_size, cfg.p_size)
         p_flat = phasegram_cumsum(frames, resize=resize)

@@ -91,7 +91,8 @@ def main() -> None:
     # the separator reuses the training-time denoising setup (input = STFT +
     # N(0, noise_scalar)); when separating a user's real mixture no synthetic
     # noise must be injected — zero it unless explicitly requested
-    if "--noise_scalar" not in rest:
+    if not any(a == "--noise_scalar" or a.startswith("--noise_scalar=")
+               for a in rest):
         cfg = cfg.replace(noise_scalar=0.0)
 
     b = cfg.batch_size
