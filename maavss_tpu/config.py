@@ -85,6 +85,11 @@ class RunConfig:
     remat: bool = False  # rematerialize model forwards inside the windowed
     #   grad (jax.checkpoint): trades ~1/3 more FLOPs for activation memory,
     #   lifting the frames regime past its b128 HBM ceiling
+    steps_per_dispatch: int = 1  # K > 1 stages K batches on device and runs
+    #   K full optimizer steps inside ONE compiled program (lax.scan over the
+    #   stacked batches) — dispatch amortization for host/relay-bound
+    #   regimes. Per-step semantics (windows, curriculum mode, metrics per
+    #   optimizer step) are preserved; requires steps_per_epoch % K == 0
     mode_schedule: Optional[str] = None  # override the regime's reference
     #   modality curriculum: cycle | random01 | fixed (None = the script's
     #   reference-parity default). 'fixed' trains in AV mode 2 — the
@@ -213,6 +218,9 @@ def build_parser(parser: Optional[argparse.ArgumentParser] = None) -> argparse.A
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint the model forward in the windowed "
                         "grad (activation memory for ~1/3 more FLOPs)")
+    p.add_argument("--steps_per_dispatch", type=int, default=1,
+                   help="optimizer steps per compiled dispatch (K batches "
+                        "staged on device, lax.scan over them)")
     p.add_argument("--mode_schedule", type=str, default=None,
                    choices=("cycle", "random01", "fixed"),
                    help="override the regime's modality curriculum "

@@ -53,6 +53,28 @@ class MetricsLogger:
         if self._wandb is not None:
             self._wandb.log(metrics, step=step)
 
+    def log_histograms(self, hists: Dict[str, Any], step: Optional[int] = None
+                       ) -> None:
+        """Histogram channel (reference: wandb.watch(log="all") records
+        gradient/param histograms, train.py:109). `hists` maps name ->
+        (counts, bin_edges); records land in histograms.jsonl next to the
+        scalar stream, mirrored to wandb as native Histogram objects."""
+        rec: Dict[str, Any] = {"ts": time.time()}
+        if step is not None:
+            rec["step"] = int(step)
+        for name, (counts, edges) in hists.items():
+            rec[name] = {"counts": [int(c) for c in counts],
+                         "edges": [float(e) for e in edges]}
+        path = os.path.join(self.dir, "histograms.jsonl")
+        with open(path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        if self._wandb is not None:
+            self._wandb.log(
+                {name: self._wandb.Histogram(np_histogram=(list(counts),
+                                                           list(edges)))
+                 for name, (counts, edges) in hists.items()},
+                step=step)
+
     def close(self) -> None:
         self._fh.close()
         if self._wandb is not None:

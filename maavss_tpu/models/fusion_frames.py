@@ -19,10 +19,12 @@ from __future__ import annotations
 
 from typing import Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from maavss_tpu.models.layers import ConvStack, TorchBatchNorm, make_birnn
+from maavss_tpu.ops.pallas_kernels import complex_mask_apply
 from maavss_tpu.models.shape_plan import (
     frames_visual_encoder_out_hw,
     plan_stft_decoder_frames,
@@ -70,6 +72,15 @@ class AVFusionFramesModel(nn.Module):
     dtype: jnp.dtype = jnp.float32
     rnn_cell: str = "lstm"  # 'lstm' (reference parity) | 'gru' (north-star option)
     rnn_unroll: int = 1
+    # complex-ratio-mask audio head (--mask_head, mirroring fusion.py): the
+    # head predicts a complex mask applied — via the fused Pallas kernel —
+    # to the MIDDLE frame's hops_per_frame columns of the input mixture
+    # window (the columns this model family's objective predicts,
+    # avse_model_final.py:203-213). `mask_mid_frame` is that frame's index
+    # within the nf-frame input window ((num_seq-1)//2 in the train regime).
+    # Requires rectangular (re,im) features — incompatible with use_polar.
+    mask_head: bool = False
+    mask_mid_frame: int = 0
 
     def setup(self):
         hw = frames_visual_encoder_out_hw(self.frame_shape[-1])
@@ -130,11 +141,18 @@ class AVFusionFramesModel(nn.Module):
         x_a_enc = self.stft_encoder(x_a, train)
         x_v_enc = self.visual_encoder(x_v, train)
         fused = self.av_fusion_forward(x_a_enc, x_v_enc)
-        x_a_out = jnp.tanh(self.a_fc1(fused))
+        a_shape = (x_a.shape[0], 2, self.hops_per_frame, self.stft_shape[-1])
+        if self.mask_head:
+            # predicted complex ratio mask * the mixture's middle-frame
+            # columns, one fused VMEM pass (mirrors fusion.py mask_head)
+            lo = self.mask_mid_frame * self.hops_per_frame
+            x_mid = jax.lax.slice_in_dim(x_a, lo, lo + self.hops_per_frame,
+                                         axis=2)
+            mask = self.a_fc1(fused).reshape(a_shape).astype(x_a.dtype)
+            x_a_out = complex_mask_apply(x_mid, mask)
+        else:
+            x_a_out = jnp.tanh(self.a_fc1(fused)).reshape(a_shape)
         x_v_out = nn.sigmoid(self.v_fc1(fused))
-        x_a_out = x_a_out.reshape(
-            x_a.shape[0], 2, self.hops_per_frame, self.stft_shape[-1]
-        )
         x_v_out = x_v_out.reshape(
             x_v.shape[0], self.frame_shape[1], self.frame_shape[-2], self.frame_shape[-1]
         )

@@ -59,17 +59,56 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch: Any) -> Any:
+def _leaf_model_sharding(mesh: Mesh, x: Any) -> NamedSharding:
+    """Tensor-parallel placement rule for one state leaf: wide 2D kernels
+    (Dense / LSTM input+recurrent projections — fc1/fc2/a_fc1/v_fc1, w_i/w_h)
+    split their output axis over 'model'; everything else (biases, conv
+    kernels, BatchNorm stats, scalars) is replicated.
+
+    The rule is shape-based so it applies unchanged to the optimizer state
+    (adam's mu/nu mirror the param shapes) — a model-sharded param always has
+    model-sharded Adam moments, keeping the update fully local to each shard.
+    """
+    n_model = mesh.shape[MODEL_AXIS]
+    ndim = getattr(x, "ndim", 0)
+    shape = getattr(x, "shape", ())
+    if (n_model > 1 and ndim == 2 and shape[-1] % n_model == 0
+            and shape[-1] >= 128):
+        return NamedSharding(mesh, P(None, MODEL_AXIS))
+    return NamedSharding(mesh, P())
+
+
+def state_shardings(mesh: Mesh, state: Any) -> Any:
+    """State-shaped pytree of NamedShardings implementing --mesh_model."""
+    return jax.tree_util.tree_map(lambda x: _leaf_model_sharding(mesh, x), state)
+
+
+def shard_state(mesh: Mesh, state: Any):
+    """device_put a TrainState per the --mesh_model rules; returns
+    (placed_state, shardings) — pass the shardings into the step factories so
+    the compiled step keeps the wide kernels on 'model' instead of forcing
+    everything replicated."""
+    sh = state_shardings(mesh, state)
+    placed = jax.tree_util.tree_map(jax.device_put, state, sh)
+    return placed, sh
+
+
+def shard_batch(mesh: Mesh, batch: Any, stacked: bool = False) -> Any:
     """device_put every leaf with its batch axis sharded on `data`.
 
+    `stacked` marks multi-step batches [K, B, ...] (steps_per_dispatch): the
+    stack axis K stays unsharded, the batch axis (axis 1) shards on 'data'.
     Leaves whose batch dim doesn't divide the data axis are replicated.
     """
     n_data = mesh.shape[DATA_AXIS]
+    b_axis = 1 if stacked else 0
 
     def put(x):
         x = np.asarray(x) if not isinstance(x, jax.Array) else x
-        if x.ndim >= 1 and x.shape[0] % n_data == 0:
-            return jax.device_put(x, batch_sharding(mesh, x.ndim))
+        if x.ndim > b_axis and x.shape[b_axis] % n_data == 0:
+            spec = [None] * x.ndim
+            spec[b_axis] = DATA_AXIS
+            return jax.device_put(x, NamedSharding(mesh, P(*spec)))
         return jax.device_put(x, replicated_sharding(mesh))
 
     return jax.tree_util.tree_map(put, batch)

@@ -83,6 +83,19 @@ def default_mesh(cfg: RunConfig):
     return make_mesh(data=data, model=model)
 
 
+def apply_mesh_model(cfg: RunConfig, mesh, state):
+    """Realize --mesh_model: tensor-shard the wide Dense/LSTM kernels (and
+    their Adam moments) over the 'model' mesh axis. Returns (placed_state,
+    state_shardings-or-None); pass the shardings into the step factories so
+    the compiled program keeps them (train/steps.py:_jit_step). With
+    mesh_model == 1 this is a no-op and the state stays replicated."""
+    from maavss_tpu.parallel.mesh import MODEL_AXIS, shard_state
+
+    if mesh is None or mesh.shape[MODEL_AXIS] <= 1:
+        return state, None
+    return shard_state(mesh, state)
+
+
 def build_fusion(cfg: RunConfig, batch_size: int,
                  trainable: Optional[Sequence[str]] = None,
                  optimizer: str = "adam") -> Tuple[AVFusionModel, TrainState]:
@@ -110,6 +123,9 @@ def build_fusion(cfg: RunConfig, batch_size: int,
 def build_frames_model(cfg: RunConfig, batch_size: int, frame_size: int,
                        latent_channels: int = 16,
                        ) -> Tuple[AVFusionFramesModel, TrainState]:
+    if cfg.mask_head and cfg.use_polar:
+        raise SystemExit("--mask_head needs rectangular (re,im) STFT features; "
+                         "drop --use_polar")
     t_stft = cfg.hops_per_frame * cfg.num_frames
     model = AVFusionFramesModel(
         stft_shape=(batch_size, 2, t_stft, cfg.fft_len // 2 + 1),
@@ -117,6 +133,7 @@ def build_frames_model(cfg: RunConfig, batch_size: int, frame_size: int,
         hops_per_frame=cfg.hops_per_frame, latent_channels=latent_channels,
         fc_size=cfg.fc_size, dtype=jnp.dtype(cfg.dtype),
         rnn_cell=cfg.rnn_cell, rnn_unroll=cfg.rnn_unroll,
+        mask_head=cfg.mask_head, mask_mid_frame=(cfg.num_seq - 1) // 2,
     )
     x_a = jnp.zeros(model.stft_shape, jnp.float32)
     x_v = jnp.zeros(model.frame_shape, jnp.float32)
@@ -126,10 +143,15 @@ def build_frames_model(cfg: RunConfig, batch_size: int, frame_size: int,
     return model, create_train_state(variables, tx)
 
 
-def make_stream(cfg: RunConfig, dataset, indices=None, mesh=None, seed: int = 0):
+def make_stream(cfg: RunConfig, dataset, indices=None, mesh=None, seed: int = 0,
+                stack: int = 1):
     """Batch stream for a train/val split: the C++ loader when requested and
     applicable (AV datasets), else the Python pipeline with thread prefetch.
-    Shards each batch over the mesh when one is given."""
+    Shards each batch over the mesh when one is given. `stack > 1` groups
+    that many consecutive batches into one [K, B, ...] dispatch batch
+    (steps_per_dispatch)."""
+    import numpy as np
+
     from maavss_tpu.data.dataset import AVDataset, Subset, batches, prefetch
     from maavss_tpu.parallel.mesh import shard_batch
 
@@ -145,8 +167,15 @@ def make_stream(cfg: RunConfig, dataset, indices=None, mesh=None, seed: int = 0)
     if it is None:
         ds = dataset if indices is None else Subset(dataset, indices)
         it = prefetch(batches(ds, cfg.batch_size, seed=seed))
+    if stack > 1:
+        def stacked(src):
+            while True:
+                group = [next(src) for _ in range(stack)]
+                yield jax.tree_util.tree_map(
+                    lambda *xs: np.stack([np.asarray(x) for x in xs]), *group)
+        it = stacked(it)
     if mesh is not None:
-        it = (shard_batch(mesh, b) for b in it)
+        it = (shard_batch(mesh, b, stacked=stack > 1) for b in it)
     return it
 
 

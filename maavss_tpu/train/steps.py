@@ -48,6 +48,25 @@ def mse(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(jnp.square(a - b))
 
 
+def _l2_norm(tree) -> jnp.ndarray:
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(l.astype(jnp.float32)))
+                        for l in leaves))
+
+
+def _watch_metrics(grads, params) -> Metrics:
+    """Gradient/parameter observability (reference: wandb.watch(log='all')
+    records grad/param histograms every step, train.py:109): global l2 norms
+    plus per-top-level-module gradient norms, fused into the compiled step as
+    scalars. Histograms are the Trainer's opt-in MAAVSS_WATCH channel
+    (exp/metrics.py) — a separate device program, kept off the default path
+    because extra compiles are expensive on relay-attached chips."""
+    m = {"grad_norm": _l2_norm(grads), "param_norm": _l2_norm(params)}
+    for k in grads.keys():
+        m[f"grad_norm/{k}"] = _l2_norm(grads[k])
+    return m
+
+
 def _train_apply(model, remat: bool):
     """The train-mode forward used inside windowed grads; `remat` wraps it in
     jax.checkpoint so the backward recomputes activations instead of holding
@@ -77,18 +96,51 @@ def norm_per_example(feats: jnp.ndarray) -> jnp.ndarray:
     return feats / m
 
 
-def _jit_step(step: Callable, mesh: Optional[Mesh], batch_spec: Any):
-    """Compile with shardings when a mesh is given (single-device otherwise)."""
+def _multistep(step: Callable, k: int) -> Callable:
+    """K optimizer steps inside ONE compiled program: `lax.scan` over K
+    stacked batches (leading axis K on every batch leaf), carrying the train
+    state. This is the dispatch-amortization lever for host/relay-bound
+    regimes: one host->device round trip launches K full train steps instead
+    of one. Per-step semantics are bit-preserved — each scanned step is the
+    unmodified single-step body (windows, BatchNorm updates, optimizer
+    update), with its own folded rng — and metrics come back stacked [K] so
+    the Trainer still logs one record per optimizer step."""
+
+    def kstep(state: TrainState, batches, rng: jax.Array, mode: jnp.ndarray):
+        def body(st, inp):
+            i, batch = inp
+            st, metrics = step(st, batch, jax.random.fold_in(rng, i), mode)
+            return st, metrics
+
+        return jax.lax.scan(body, state, (jnp.arange(k), batches))
+
+    return kstep
+
+
+def _jit_step(step: Callable, mesh: Optional[Mesh], batch_spec: Any,
+              state_shardings: Any = None, k_steps: int = 1):
+    """Compile with shardings when a mesh is given (single-device otherwise).
+
+    `state_shardings` (a state-shaped pytree of NamedShardings from
+    parallel.mesh.shard_state) tensor-shards the wide kernels over 'model'
+    (--mesh_model); when absent the state is replicated and only the batch is
+    sharded (pure data parallelism). `k_steps > 1` wraps the body in
+    _multistep — batch leaves then carry a leading stack axis [K, B, ...]
+    sharded P(None, 'data')."""
+    if k_steps > 1:
+        step = _multistep(step, k_steps)
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,))
     repl = NamedSharding(mesh, P())
-    bshard = NamedSharding(mesh, P(DATA_AXIS))
+    bspec = P(None, DATA_AXIS) if k_steps > 1 else P(DATA_AXIS)
+    bshard = NamedSharding(mesh, bspec)
     batch_shardings = jax.tree_util.tree_map(lambda _: bshard, batch_spec)
+    sshard = state_shardings if state_shardings is not None else repl
     return jax.jit(
         step,
         donate_argnums=(0,),
-        in_shardings=(repl, batch_shardings, repl, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(sshard, batch_shardings, repl, repl),
+        out_shardings=(sshard, repl),
     )
 
 
@@ -129,6 +181,7 @@ def _accumulate(
     (grads, bstats, metrics), _ = jax.lax.scan(
         body, (zero_grads, state.batch_stats, zero_metrics), jnp.arange(num_windows)
     )
+    metrics = {**metrics, **_watch_metrics(grads, state.params)}
     new_state = state.apply_gradients(grads=grads, batch_stats=bstats)
     return new_state, metrics
 
@@ -138,7 +191,8 @@ def _accumulate(
 # ---------------------------------------------------------------------------
 
 def make_fusion_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
-                     window_mode: str = "scan"):
+                     window_mode: str = "scan", state_shardings=None,
+                     k_steps: int = 1):
     """Train step for AVFusionModel over `batch = {'audio': [B, S_total],
     'frames': [B, T_total, p, p]}` with T_total = num_frames + num_seq
     attention frames already at phasegram resolution.
@@ -152,10 +206,10 @@ def make_fusion_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
     - 'vectorized': all `num_seq` windows fold into the batch dimension and
       run as ONE forward/backward. Gradients are mathematically identical
       up to BatchNorm, whose statistics are computed over all windows at
-      once (a larger, arguably better batch). Measured on v5e (bf16,
-      b128) this was ~5x SLOWER than scan (8.4 vs 1.8 ms/step) — the
-      folded batch blows past the fused kernels' efficient tile sizes —
-      so scan remains the default on TPU; vectorized may win elsewhere.
+      once (a larger, arguably better batch). Measured fetch-closed on v5e
+      (bf16, b128) this is ~16% FASTER than scan (BASELINE.md) and is
+      bench.py's default; RunConfig keeps 'scan' as its default for exact
+      reference semantics (per-window BatchNorm batches).
     """
     a, nf, ns = cfg.hops_per_frame, cfg.num_frames, cfg.num_seq
     coeff, obj_zeros = cfg.loss_coeff, cfg.objective_zeros
@@ -201,11 +255,13 @@ def make_fusion_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
 
         (loss, (bstats, metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats)
+        metrics = {**metrics, **_watch_metrics(grads, state.params)}
         new_state = state.apply_gradients(grads=grads, batch_stats=bstats)
         return new_state, metrics
 
     if window_mode == "vectorized":
-        return _jit_step(step_vectorized, mesh, {"audio": 0, "frames": 0})
+        return _jit_step(step_vectorized, mesh, {"audio": 0, "frames": 0},
+                         state_shardings, k_steps)
 
     def step(state: TrainState, batch, rng: jax.Array, mode: jnp.ndarray):
         mode = jnp.asarray(mode)
@@ -240,10 +296,11 @@ def make_fusion_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
         return _accumulate(window_loss, state, ns)
 
     batch_spec = {"audio": 0, "frames": 0}
-    return _jit_step(step, mesh, batch_spec)
+    return _jit_step(step, mesh, batch_spec, state_shardings, k_steps)
 
 
-def make_fusion_middle_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None):
+def make_fusion_middle_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
+                            state_shardings=None, k_steps: int = 1):
     """Fusion model with the middle-frame objective (experiments/train.py:
     148-181): each window's loss compares only the middle frame's
     `hops_per_frame` STFT columns and its single phasegram row.
@@ -285,14 +342,16 @@ def make_fusion_middle_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None):
 
         return _accumulate(window_loss, state, ns)
 
-    return _jit_step(step, mesh, {"audio": 0, "frames": 0})
+    return _jit_step(step, mesh, {"audio": 0, "frames": 0}, state_shardings,
+                     k_steps)
 
 
 # ---------------------------------------------------------------------------
 # Frames model — middle-frame objective (train_avse_frames.py regime)
 # ---------------------------------------------------------------------------
 
-def make_frames_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None):
+def make_frames_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
+                     state_shardings=None, k_steps: int = 1):
     """Train step for AVFusionFramesModel over `batch = {'audio': [B, S_total],
     'frames': [B, T_total, H, W]}` (raw attention frames at framesize).
 
@@ -335,7 +394,7 @@ def make_frames_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None):
         return _accumulate(window_loss, state, ns)
 
     batch_spec = {"audio": 0, "frames": 0}
-    return _jit_step(step, mesh, batch_spec)
+    return _jit_step(step, mesh, batch_spec, state_shardings, k_steps)
 
 
 # ---------------------------------------------------------------------------
@@ -343,7 +402,8 @@ def make_frames_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None):
 # ---------------------------------------------------------------------------
 
 def make_audio_ae_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
-                       trim_end: bool = True):
+                       trim_end: bool = True, state_shardings=None,
+                       k_steps: int = 1):
     """STFT-autoencoder step over `batch = {'audio': [B, samples]}`
     (train_autoencoder.py / train_audio_net.py regimes: denoising mse on the
     AE path, `audio_ae_forward`)."""
@@ -367,12 +427,14 @@ def make_audio_ae_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
             state.params, state.batch_stats
         )
         new_state = state.apply_gradients(grads=grads, batch_stats=bstats)
-        return new_state, {"loss": loss, "a_loss": loss, "v_loss": jnp.zeros(())}
+        return new_state, {"loss": loss, "a_loss": loss, "v_loss": jnp.zeros(()),
+                           **_watch_metrics(grads, state.params)}
 
-    return _jit_step(step, mesh, {"audio": 0})
+    return _jit_step(step, mesh, {"audio": 0}, state_shardings, k_steps)
 
 
-def make_fusion_eval(model, cfg: RunConfig, mesh: Optional[Mesh] = None):
+def make_fusion_eval(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
+                     state_shardings=None):
     """Validation pass for the fusion regime: same windowed objective, no
     grads, BatchNorm in inference mode (running stats) — the reference's
     model.eval() val block (train_av_net.py:147-173)."""
@@ -414,9 +476,10 @@ def make_fusion_eval(model, cfg: RunConfig, mesh: Optional[Mesh] = None):
         return jax.jit(evaluate)
     repl = NamedSharding(mesh, P())
     bshard = NamedSharding(mesh, P(DATA_AXIS))
+    sshard = state_shardings if state_shardings is not None else repl
     return jax.jit(
         evaluate,
-        in_shardings=(repl, {"audio": bshard, "frames": bshard}, repl, repl),
+        in_shardings=(sshard, {"audio": bshard, "frames": bshard}, repl, repl),
         out_shardings=repl,
     )
 
@@ -459,7 +522,8 @@ def make_visual_ae_eval(model, cfg: RunConfig):
     return evaluate
 
 
-def make_visual_ae_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None):
+def make_visual_ae_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
+                        state_shardings=None, k_steps: int = 1):
     """Phasegram-autoencoder step over `batch = {'frames': [B, T, p, p]}`
     (train_visual_net.py / train_3d_conv_net.py regimes)."""
 
@@ -482,6 +546,7 @@ def make_visual_ae_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None):
             state.params, state.batch_stats
         )
         new_state = state.apply_gradients(grads=grads, batch_stats=bstats)
-        return new_state, {"loss": loss, "a_loss": jnp.zeros(()), "v_loss": loss}
+        return new_state, {"loss": loss, "a_loss": jnp.zeros(()), "v_loss": loss,
+                           **_watch_metrics(grads, state.params)}
 
-    return _jit_step(step, mesh, {"frames": 0})
+    return _jit_step(step, mesh, {"frames": 0}, state_shardings, k_steps)

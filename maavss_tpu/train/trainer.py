@@ -22,6 +22,7 @@ never recompile; the host loop is bookkeeping only.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Callable, Iterator, Optional
 
 import jax
@@ -66,6 +67,13 @@ class Trainer:
             config=dataclasses.asdict(cfg),
         )
         self.meter = Meter(n_chips)
+        # MAAVSS_WATCH=1: parameter histograms every cb_freq steps into
+        # histograms.jsonl (+ wandb mirror) — the reference's
+        # wandb.watch(log="all") channel (train.py:109). Opt-in because it
+        # fetches the full param tree to the host each callback (slow on
+        # relay-attached chips); grad/param NORMS are always on, computed
+        # inside the compiled step (train/steps.py:_watch_metrics).
+        self._watch = os.environ.get("MAAVSS_WATCH") == "1"
         self.epoch = 0
         self._rng = jax.random.PRNGKey(cfg.seed)
         self._np_rng = np.random.default_rng(cfg.seed)
@@ -79,6 +87,17 @@ class Trainer:
     def _next_rng(self) -> jax.Array:
         self._rng, sub = jax.random.split(self._rng)
         return sub
+
+    def _param_histograms(self, bins: int = 64):
+        """64-bin histogram of every top-level param group, host-side."""
+        hists = {}
+        for k in self.state.params.keys():
+            leaves = jax.tree_util.tree_leaves(self.state.params[k])
+            flat = np.concatenate(
+                [np.asarray(l, np.float32).ravel() for l in leaves])
+            counts, edges = np.histogram(flat, bins=bins)
+            hists[f"params/{k}"] = (counts, edges)
+        return hists
 
     def _advance_mode(self) -> None:
         if self.mode_schedule == "cycle":
@@ -94,23 +113,33 @@ class Trainer:
         cfg = self.cfg
         best_val = float("inf")
         global_step = int(self.state.step)
+        k = max(1, cfg.steps_per_dispatch)
+        if cfg.steps_per_epoch % k:
+            raise ValueError(
+                f"steps_per_epoch={cfg.steps_per_epoch} must be a multiple of "
+                f"steps_per_dispatch={k}")
 
         # deferred metrics: converting device scalars blocks until that step
         # finishes — one sync costs a full round trip on remote/tunnelled
         # runtimes. Steps are enqueued back to back; their metrics buffer as
         # device arrays and are drained in bulk every cb_freq steps (and at
-        # epoch end), still writing one JSONL record per step.
-        pending = []  # [(global_step, epoch, mode, step_in_epoch, metrics)]
+        # epoch end), still writing one JSONL record per step. With
+        # steps_per_dispatch > 1 each entry carries K stacked per-step metric
+        # vectors and expands to K records.
+        pending = []  # [(gstep_of_first, epoch, mode, step_in_epoch, metrics)]
 
         def drain():
             host = {}
             for gstep, pe, pmode, pi, m in pending:
-                host = {k: float(v) for k, v in m.items()}
-                self.logger.log(
-                    {**host, "mode": pmode, "epoch": pe,
-                     "clips_per_sec_per_chip": self.meter.clips_per_sec_per_chip},
-                    step=gstep,
-                )
+                hm = {key: np.asarray(v) for key, v in m.items()}
+                for j in range(k):
+                    host = {key: float(v[j] if v.ndim else v)
+                            for key, v in hm.items()}
+                    self.logger.log(
+                        {**host, "mode": pmode, "epoch": pe,
+                         "clips_per_sec_per_chip": self.meter.clips_per_sec_per_chip},
+                        step=gstep + j,
+                    )
                 if pi % cfg.cb_freq == 0:
                     print(f"epoch {pe} step {pi}/{cfg.steps_per_epoch} "
                           f"loss {host.get('loss', float('nan')):.6f} "
@@ -123,24 +152,31 @@ class Trainer:
         for e in range(self.epoch, cfg.epochs):
             self.epoch = e
             self.meter.reset()
-            for i in range(cfg.steps_per_epoch):
+            for i in range(0, cfg.steps_per_epoch, k):
                 batch = next(train_batches)
                 self.state, metrics = self.step_fn(
                     self.state, batch, self._next_rng(), jnp.int32(self.mode)
                 )
-                bsz = len(jax.tree_util.tree_leaves(batch)[0])
-                self.meter.update(bsz)
-                global_step += 1
-                pending.append((global_step, e, self.mode, i, metrics))
-                if i % cfg.cb_freq == 0:
+                lead = jax.tree_util.tree_leaves(batch)[0]
+                bsz = lead.shape[1] if k > 1 else lead.shape[0]
+                self.meter.update(bsz * k)
+                pending.append((global_step + 1, e, self.mode, i, metrics))
+                global_step += k
+                if i % cfg.cb_freq < k:  # a cb boundary falls in this dispatch
                     last_metrics = drain() or last_metrics
+                    if self._watch:
+                        self.logger.log_histograms(
+                            self._param_histograms(), step=global_step)
                     if self.media_fn is not None:
                         try:
-                            self.media_fn(self.state, batch, self._next_rng(),
+                            mbatch = batch if k == 1 else jax.tree_util.tree_map(
+                                lambda x: x[0], batch)
+                            self.media_fn(self.state, mbatch, self._next_rng(),
                                           global_step)
                         except Exception as err:  # media must never kill a run
                             print(f"media callback failed: {err}")
-                if cfg.cp_freq and global_step % cfg.cp_freq == 0 and not cfg.no_save:
+                if cfg.cp_freq and not cfg.no_save and \
+                        global_step // cfg.cp_freq > (global_step - k) // cfg.cp_freq:
                     save_checkpoint(cfg.cp_dir, self.run_name, self.state, e,
                                     last_metrics.get("loss", 0.0))
             last_metrics = drain() or last_metrics  # flush the epoch tail

@@ -110,7 +110,8 @@ class TestMetricsLogger:
 
 
 class TestTrainer:
-    def test_fit_epochs_checkpoints_and_metrics(self, tmp_path):
+    def test_fit_epochs_checkpoints_and_metrics(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("MAAVSS_WATCH", "1")  # histogram channel opt-in
         cfg = CFG.replace(cp_dir=str(tmp_path / "cp"), log_dir=str(tmp_path / "logs"))
         t_stft = cfg.hops_per_frame * cfg.num_frames
         model = AVFusionModel(
@@ -137,6 +138,17 @@ class TestTrainer:
         assert len(lines) == cfg.epochs * cfg.steps_per_epoch
         rec = json.loads(lines[-1])
         assert "clips_per_sec_per_chip" in rec and np.isfinite(rec["loss"])
+        # observability channel (reference wandb.watch parity): in-step
+        # grad/param norms every step + per-cb_freq param histograms
+        assert rec["grad_norm"] > 0 and rec["param_norm"] > 0
+        assert any(k.startswith("grad_norm/") for k in rec)
+        hlines = open(os.path.join(cfg.log_dir, "t1",
+                                   "histograms.jsonl")).readlines()
+        assert len(hlines) == cfg.epochs  # cb_freq > steps/epoch -> 1/epoch
+        hrec = json.loads(hlines[-1])
+        pkeys = [k for k in hrec if k.startswith("params/")]
+        assert pkeys and sum(hrec[pkeys[0]]["counts"]) > 0
+        assert len(hrec[pkeys[0]]["edges"]) == len(hrec[pkeys[0]]["counts"]) + 1
 
         # auto-resume: -c picks up the saved checkpoint and its epoch
         cfg2 = cfg.replace(c=True, epochs=3)

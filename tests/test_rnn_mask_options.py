@@ -213,3 +213,68 @@ def test_fusion_none_cell_forward_and_grad():
     assert np.isfinite(float(l))
     gn = float(jnp.sum(jnp.abs(g["lstm"]["Dense_0"]["kernel"])))
     assert np.isfinite(gn) and gn > 0
+
+
+def _tiny_frames(**kw):
+    cfg = RunConfig(num_frames=4, num_seq=4, hops_per_frame=4, fft_len=64,
+                    p_size=16, fc_size=256, framesize=24, batch_size=2,
+                    learning_rate=1e-3, **{k: v for k, v in kw.items()
+                                           if hasattr(RunConfig, k)})
+    from maavss_tpu.train.setup import build_frames_model
+
+    model, state = build_frames_model(cfg, cfg.batch_size, cfg.framesize)
+    return cfg, model, state
+
+
+def test_frames_mask_head_masks_middle_columns():
+    """--mask_head on the final model family: the audio head must be a
+    complex ratio mask applied to the MIDDLE frame's hops_per_frame columns
+    of the input mixture window (the columns the middle-frame objective
+    predicts, avse_model_final.py:203-213)."""
+    cfg, model, state = _tiny_frames(mask_head=True)
+    assert model.mask_head and model.mask_mid_frame == (cfg.num_seq - 1) // 2
+    rng = np.random.default_rng(0)
+    x_a = jnp.asarray(rng.standard_normal(model.stft_shape), jnp.float32)
+    x_v = jnp.asarray(rng.standard_normal(model.frame_shape), jnp.float32)
+    vars_ = {"params": state.params, "batch_stats": state.batch_stats}
+    ya, yv, _ = model.apply(vars_, x_a, x_v)
+    a = cfg.hops_per_frame
+    assert ya.shape == (2, 2, a, cfg.fft_len // 2 + 1)
+    # multiplicative: zero mixture => zero separated output
+    ya0, _, _ = model.apply(vars_, jnp.zeros_like(x_a), x_v)
+    np.testing.assert_allclose(np.asarray(ya0), 0.0, atol=1e-6)
+    # equals the manual complex product on the middle columns
+    bound = model.bind(vars_)
+    fused = bound.av_fusion_forward(bound.stft_encoder(x_a, False),
+                                    bound.visual_encoder(x_v, False))
+    mask = bound.a_fc1(fused).reshape(ya.shape)
+    lo = model.mask_mid_frame * a
+    x_mid = x_a[:, :, lo:lo + a]
+    sre, sim = x_mid[:, 0], x_mid[:, 1]
+    mre, mim = mask[:, 0], mask[:, 1]
+    want = jnp.stack([sre * mre - sim * mim, sre * mim + sim * mre], axis=1)
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_frames_step_mask_head_loss_decreases():
+    from maavss_tpu.data.synthetic import synthetic_av_batch
+    from maavss_tpu.train.steps import make_frames_step
+
+    cfg, model, state = _tiny_frames(mask_head=True)
+    step = make_frames_step(model, cfg)
+    batch = synthetic_av_batch(cfg, cfg.batch_size, seed=0,
+                               frame_size=cfg.framesize)
+    batch = jax.tree_util.tree_map(jnp.asarray, batch)
+    losses = []
+    for i in range(8):
+        state, m = step(state, batch, jax.random.PRNGKey(0), jnp.int32(2))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+
+
+def test_frames_mask_head_rejects_polar():
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        _tiny_frames(mask_head=True, use_polar=True)

@@ -16,7 +16,8 @@ from __future__ import annotations
 from maavss_tpu.config import RunConfig, model_args
 from maavss_tpu.data.dataset import AVDataset, split_train_val
 from maavss_tpu.exp.checkpoint import save_model
-from maavss_tpu.train.setup import make_stream, init_runtime, build_fusion, default_mesh, load_stores, run_name
+from maavss_tpu.train.setup import (apply_mesh_model, build_fusion, default_mesh,
+                                    init_runtime, load_stores, make_stream, run_name)
 from maavss_tpu.train.steps import make_fusion_eval, make_fusion_step
 from maavss_tpu.train.trainer import Trainer
 
@@ -32,8 +33,11 @@ def train(config: RunConfig = None):
 
 
     model, state = build_fusion(cfg, cfg.batch_size)
-    step = make_fusion_step(model, cfg, mesh=mesh, window_mode=cfg.window_mode)
-    eval_fn = make_fusion_eval(model, cfg, mesh=mesh)
+    state, sshard = apply_mesh_model(cfg, mesh, state)
+    step = make_fusion_step(model, cfg, mesh=mesh, window_mode=cfg.window_mode,
+                            state_shardings=sshard,
+                            k_steps=cfg.steps_per_dispatch)
+    eval_fn = make_fusion_eval(model, cfg, mesh=mesh, state_shardings=sshard)
     name = run_name("avf", cfg)
     import os
 
@@ -48,7 +52,8 @@ def train(config: RunConfig = None):
     trainer = Trainer(cfg, step, state, run_name=name, eval_fn=eval_fn,
                       mode_schedule=cfg.mode_schedule or "cycle", checkpoint_policy="epoch",
                       n_chips=len(jax.devices()), media_fn=media_fn)
-    state = trainer.fit(make_stream(cfg, dataset, tr_idx, mesh, cfg.seed),
+    state = trainer.fit(make_stream(cfg, dataset, tr_idx, mesh, cfg.seed,
+                                    stack=cfg.steps_per_dispatch),
                         make_stream(cfg, dataset, va_idx, mesh, cfg.seed + 1))
     if not cfg.no_save:
         save_model(f"saved_models/{name}", state.params)  # train.py:243-244

@@ -35,14 +35,17 @@ def train(config: RunConfig = None):
     model, state = build_fusion(cfg, cfg.batch_size, trainable=FUSION_SUBNETS)
     if cfg.saved_model:
         state = state.replace(params=load_model(cfg.saved_model, state.params))
-    step = make_fusion_step(model, cfg, mesh=mesh)
-    eval_fn = make_fusion_eval(model, cfg, mesh=mesh)
+    state, sshard = apply_mesh_model(cfg, mesh, state)
+    step = make_fusion_step(model, cfg, mesh=mesh, state_shardings=sshard,
+                            k_steps=cfg.steps_per_dispatch)
+    eval_fn = make_fusion_eval(model, cfg, mesh=mesh, state_shardings=sshard)
     import jax
 
     trainer = Trainer(cfg, step, state, run_name=run_name("av-net", cfg),
                       eval_fn=eval_fn, mode_schedule="fixed", fixed_mode=2,
                       checkpoint_policy="best", n_chips=len(jax.devices()))
-    return trainer.fit(make_stream(cfg, dataset, tr_idx, mesh, cfg.seed),
+    return trainer.fit(make_stream(cfg, dataset, tr_idx, mesh, cfg.seed,
+                        stack=cfg.steps_per_dispatch),
                        make_stream(cfg, dataset, va_idx, mesh, cfg.seed + 1))
 
 

@@ -16,7 +16,9 @@ from __future__ import annotations
 from maavss_tpu.config import RunConfig, model_args
 from maavss_tpu.data.dataset import AVDataset, split_train_val
 from maavss_tpu.exp.checkpoint import save_model
-from maavss_tpu.train.setup import make_stream, init_runtime, build_frames_model, default_mesh, load_stores, run_name
+from maavss_tpu.train.setup import (apply_mesh_model, build_frames_model,
+                                    default_mesh, init_runtime, load_stores,
+                                    make_stream, run_name)
 from maavss_tpu.train.steps import make_frames_step
 from maavss_tpu.train.trainer import Trainer
 
@@ -33,14 +35,17 @@ def train(config: RunConfig = None):
 
     frame_size = dataset[0]["frames"].shape[-1]
     model, state = build_frames_model(cfg, cfg.batch_size, frame_size)
-    step = make_frames_step(model, cfg, mesh=mesh)
+    state, sshard = apply_mesh_model(cfg, mesh, state)
+    step = make_frames_step(model, cfg, mesh=mesh, state_shardings=sshard,
+                            k_steps=cfg.steps_per_dispatch)
     name = run_name("avse-frames", cfg)
     import jax
 
     trainer = Trainer(cfg, step, state, run_name=name,
                       mode_schedule=cfg.mode_schedule or "random01", fixed_mode=2,
                       checkpoint_policy="epoch", n_chips=len(jax.devices()))
-    state = trainer.fit(make_stream(cfg, dataset, tr_idx, mesh, cfg.seed),
+    state = trainer.fit(make_stream(cfg, dataset, tr_idx, mesh, cfg.seed,
+                        stack=cfg.steps_per_dispatch),
                         make_stream(cfg, dataset, va_idx, mesh, cfg.seed + 1))
     if not cfg.no_save:
         save_model(f"saved_models/{name}", state.params)
