@@ -30,6 +30,7 @@ from maavss_tpu.train.setup import (
     build_frames_model,
     build_fusion,
     init_runtime,
+    load_pgram_store,
     load_stores,
 )
 
@@ -70,7 +71,9 @@ def main() -> None:
     cfg = model_args(rest)
     init_runtime()
     frames, audio = load_stores(cfg)
-    dataset = AVDataset(cfg, frames, audio, cfg.num_frames + cfg.num_seq)
+    dataset = AVDataset(cfg, frames, audio, cfg.num_frames + cfg.num_seq,
+                        pgrams=None if model_kind == "frames"
+                        else load_pgram_store(cfg))
     _, va_idx = split_train_val(len(dataset), cfg.split, cfg.seed)
     val = Subset(dataset, va_idx if len(va_idx) >= cfg.batch_size else
                  np.arange(len(dataset)))

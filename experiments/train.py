@@ -18,8 +18,8 @@ from maavss_tpu.config import RunConfig, model_args  # noqa: E402
 from maavss_tpu.data.dataset import AVDataset, split_train_val  # noqa: E402
 from maavss_tpu.exp.checkpoint import save_model  # noqa: E402
 from maavss_tpu.train.setup import (  # noqa: E402
-    apply_mesh_model, build_fusion, default_mesh, init_runtime, load_stores,
-    make_stream, run_name,
+    apply_mesh_model, build_fusion, default_mesh, init_runtime,
+    load_pgram_store, load_stores, make_stream, run_name,
 )
 from maavss_tpu.train.steps import make_fusion_middle_step  # noqa: E402
 from maavss_tpu.train.trainer import Trainer  # noqa: E402
@@ -29,7 +29,8 @@ def train(config: RunConfig = None):
     cfg = config or model_args()
     init_runtime()
     frames, audio = load_stores(cfg)
-    dataset = AVDataset(cfg, frames, audio, cfg.num_frames + cfg.num_seq)
+    dataset = AVDataset(cfg, frames, audio, cfg.num_frames + cfg.num_seq,
+                        pgrams=load_pgram_store(cfg))
     tr_idx, va_idx = split_train_val(len(dataset), cfg.split, cfg.seed)
     mesh = default_mesh(cfg)
     model, state = build_fusion(cfg, cfg.batch_size)

@@ -85,6 +85,15 @@ class RunConfig:
     remat: bool = False  # rematerialize model forwards inside the windowed
     #   grad (jax.checkpoint): trades ~1/3 more FLOPs for activation memory,
     #   lifting the frames regime past its b128 HBM ceiling
+    microbatch: int = 1  # frames regime: M sequential batch chunks per
+    #   optimizer step (grads averaged) — caps peak HBM at one chunk's
+    #   forward/backward; the measured fix for the b256 OOM that remat cannot
+    #   reach (the first conv3d stage's single ~8.6 GB live intermediate)
+    pgram_cache: bool = False  # fusion regimes read ingest-time phasegram
+    #   cumsum rows (save_phasegrams.py -> <data_path>/pgrams-p<p_size>/)
+    #   instead of computing fft2/angle/cumsum per step; rows ship float16
+    #   (2x the bytes of the uint8 frames they replace — a compute-for-wire
+    #   trade measured in BASELINE.md)
     steps_per_dispatch: int = 1  # K > 1 stages K batches on device and runs
     #   K full optimizer steps inside ONE compiled program (lax.scan over the
     #   stacked batches) — dispatch amortization for host/relay-bound
@@ -218,6 +227,12 @@ def build_parser(parser: Optional[argparse.ArgumentParser] = None) -> argparse.A
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint the model forward in the windowed "
                         "grad (activation memory for ~1/3 more FLOPs)")
+    p.add_argument("--microbatch", type=int, default=1,
+                   help="frames regime: sequential batch chunks per optimizer "
+                        "step (grad accumulation; lifts the HBM batch ceiling)")
+    p.add_argument("--pgram_cache", action="store_true",
+                   help="use precomputed phasegram rows from "
+                        "save_phasegrams.py (fusion regimes)")
     p.add_argument("--steps_per_dispatch", type=int, default=1,
                    help="optimizer steps per compiled dispatch (K batches "
                         "staged on device, lax.scan over them)")

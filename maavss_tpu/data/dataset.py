@@ -44,12 +44,17 @@ class AVDataset:
 
     def __init__(self, cfg: RunConfig, frames: FrameShardStore,
                  audio: AudioMemmap, clip_len: int,
-                 cache_dir: str = "clipcache", mode: str = "av"):
+                 cache_dir: str = "clipcache", mode: str = "av",
+                 pgrams: "Optional[FrameShardStore]" = None):
         self.cfg = cfg
         self.frames = frames
         self.audio = audio
         self.mode = mode
         self.clip_len = clip_len
+        # precomputed phasegram rows (save_phasegrams.py): when present the
+        # visual stream ships float16 [T, p^2] rows under 'pgram' INSTEAD of
+        # raw frames, and the fusion step skips its fft2/angle/cumsum chain
+        self.pgrams = pgrams
         self.samples_per_frame = cfg.hop * cfg.hops_per_frame
         self.index = ClipIndex.load_or_build(
             cache_dir,
@@ -78,9 +83,12 @@ class AVDataset:
         v, frame_idx = self.index.clip_frame_indices(idx)
         out: Dict[str, np.ndarray] = {}
         if self.mode in ("av", "video"):
-            # frames ship as uint8; the jitted steps normalize on device
-            # (4x less host->device transfer than float32)
-            out["frames"] = self.frames.read(v, frame_idx)
+            if self.pgrams is not None:
+                out["pgram"] = self.pgrams.read(v, frame_idx)
+            else:
+                # frames ship as uint8; the jitted steps normalize on device
+                # (4x less host->device transfer than float32)
+                out["frames"] = self.frames.read(v, frame_idx)
         if self.mode in ("av", "audio"):
             # frame_idx addresses frames in the shard's NATIVE fps (the clip
             # index resamples by selecting source frames), so the audio offset

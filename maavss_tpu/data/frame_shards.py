@@ -44,8 +44,37 @@ def write_frame_shard(out_dir: str, video_id: str, frames: np.ndarray,
     return path
 
 
+def write_pgram_shard(out_dir: str, video_id: str, rows: np.ndarray,
+                      fps: float, p_size: int, source: str = "") -> str:
+    """Precomputed phasegram cumsum rows float16 `[T, p_size*p_size]` ->
+    <out_dir>/<video_id>.npy + meta (ingest-time phasegram precompute: the
+    rows are a deterministic function of each frame, so the fusion train step
+    can skip its per-step fft2/angle/cumsum chain — save_phasegrams.py,
+    mirroring the attention-frame cache pattern of save_attn_videos.py)."""
+    os.makedirs(out_dir, exist_ok=True)
+    if rows.dtype != np.float16:
+        raise ValueError(f"pgram rows must be float16, got {rows.dtype}")
+    if rows.ndim != 2 or rows.shape[1] != p_size * p_size:
+        raise ValueError(f"rows must be [T, {p_size * p_size}], got {rows.shape}")
+    path = os.path.join(out_dir, f"{video_id}.npy")
+    np.save(path, rows)
+    meta_path = os.path.join(out_dir, META_NAME)
+    meta: Dict[str, dict] = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    meta[video_id] = {
+        "frames": int(rows.shape[0]), "fps": float(fps),
+        "shape": list(rows.shape[1:]), "p_size": int(p_size), "source": source,
+    }
+    with open(meta_path, "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True)
+    return path
+
+
 class FrameShardStore:
-    """Memory-mapped reader over a shard directory."""
+    """Memory-mapped reader over a shard directory (uint8 frames or float16
+    phasegram rows — reads are dtype-preserving array slices)."""
 
     def __init__(self, shard_dir: str, video_ids: Optional[Sequence[str]] = None):
         self.dir = shard_dir

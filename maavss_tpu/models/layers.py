@@ -112,13 +112,27 @@ class LSTM(nn.Module):
     dtype: jnp.dtype = jnp.float32
     reverse: bool = False
     unroll: int = 1
-    backend: Optional[str] = None  # scan | pallas (default: $MAAVSS_LSTM or scan)
+    backend: Optional[str] = None  # scan | pallas | auto ($MAAVSS_LSTM; auto)
+
+    # 'auto' picks the fused Pallas recurrence (ops/pallas_lstm.py) on TPU when
+    # its whole-sequence VMEM residency fits; the backward is the hungriest
+    # pass: xw+dxw [T,B,4H] + ys/cs/dys [T,B,H] ≈ T*B*11H elements. 64 MiB is
+    # a conservative cap under the v5e's 128 MiB VMEM (fp32 step intermediates
+    # also live there). Measured end-to-end: +2.3% at the bench geometry
+    # (BASELINE.md round-3 kernel table).
+    _PALLAS_VMEM_CAP_BYTES = 64 * 1024 * 1024
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         import os
 
-        backend = self.backend or os.environ.get("MAAVSS_LSTM", "scan")
+        backend = self.backend or os.environ.get("MAAVSS_LSTM", "auto")
+        if backend == "auto":
+            bsz_, t_ = x.shape[0], x.shape[1]
+            fit = (t_ * bsz_ * 11 * self.hidden * jnp.dtype(x.dtype).itemsize
+                   <= self._PALLAS_VMEM_CAP_BYTES)
+            backend = "pallas" if (
+                jax.default_backend() == "tpu" and fit) else "scan"
         d = x.shape[-1]
         h = self.hidden
         scale = 1.0 / jnp.sqrt(h)

@@ -8,10 +8,12 @@ resident in VMEM across all T steps, gates fuse with the cell update, and
 only two kernels run per training step (forward + backward) instead of ~4T
 XLA ops.
 
-Scan stays the default; MAAVSS_LSTM=pallas opts in. The round-1 A/B that
-favored scan was measured with an unfaithful timing protocol and is void
-(BASELINE.md "measurement-integrity"); the honest fetch-closed comparison at
-the bench geometry is recorded in BASELINE.md's round-3 kernel table.
+Default: AUTO — on TPU the fused kernel is selected whenever its VMEM
+residency fits (models/layers.LSTM's 64 MiB cap); MAAVSS_LSTM=scan|pallas
+forces a backend. The round-1 A/B that favored scan was measured with an
+unfaithful timing protocol and is void (BASELINE.md "measurement-integrity");
+the honest fetch-closed comparison shows the kernel +2.3% end-to-end under
+vectorized windows (BASELINE.md round-3 table), which earned it the default.
 
 Contract (matches models/layers.LSTM's scan exactly, incl. torch gate order):
     ys = pallas_lstm(xw, w_h)

@@ -17,9 +17,9 @@ import jax.numpy as jnp
 
 from maavss_tpu.config import RunConfig
 from maavss_tpu.ops.metrics import si_sdr
-from maavss_tpu.ops.phasegram import phasegram_cumsum, phasegram_window
+from maavss_tpu.ops.phasegram import phasegram_window
 from maavss_tpu.ops.stft import istft_features
-from maavss_tpu.train.steps import _prep_stft_pair, frames_f32
+from maavss_tpu.train.steps import _pflat_from_batch, _prep_stft_pair, frames_f32
 from maavss_tpu.train.state import TrainState
 
 
@@ -94,9 +94,7 @@ def make_separator(model, cfg: RunConfig):
         x_full, y_full = _prep_stft_pair(
             batch["audio"], cfg, rng, trim_end=True,
             max_norm=cfg.normalize_output_fft)
-        frames = frames_f32(batch["frames"])
-        resize = None if frames.shape[-1] == cfg.p_size else (cfg.p_size, cfg.p_size)
-        p_flat = phasegram_cumsum(frames, resize=resize)
+        p_flat = _pflat_from_batch(batch, cfg)  # frames or --pgram_cache rows
 
         t_total = y_full.shape[2]
         acc = jnp.zeros_like(y_full)

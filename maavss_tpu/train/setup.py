@@ -24,6 +24,24 @@ from maavss_tpu.train.state import TrainState, create_train_state, make_optimize
 
 FUSION_SUBNETS = ("lstm", "fc1", "fc2", "a_fc1", "v_fc1")
 
+# Params never depend on the batch dimension (every forward reshapes by the
+# runtime x.shape[0]), so init runs at a clamped batch — and jitted, so XLA
+# frees/fuses the init intermediates instead of materializing each op.
+# Eager full-batch init was BOTH the ~90-100 s relay-latency landmine
+# (CLAUDE.md) and an OOM source: the frames model's first conv3d output alone
+# is ~33 MB/clip fp32, so eager init at b256 held >8 GB of dead activations.
+_INIT_BATCH = 8
+
+
+def jit_init(model, *input_shapes: Sequence[int], seed: int = 0, method=None):
+    """model.init under jit, zeros inputs with the batch axis clamped."""
+    def _init(rng):
+        xs = [jnp.zeros((min(_INIT_BATCH, s[0]),) + tuple(s[1:]), jnp.float32)
+              for s in input_shapes]
+        return model.init(rng, *xs, method=method)
+
+    return jax.jit(_init)(jax.random.PRNGKey(seed))
+
 
 def init_runtime(cache_dir: str = "~/.cache/maavss_jax") -> None:
     """Enable JAX's persistent compilation cache so repeat launches skip XLA
@@ -42,6 +60,14 @@ def init_runtime(cache_dir: str = "~/.cache/maavss_jax") -> None:
         print(f"compilation cache unavailable: {e}")
 
 
+def resolve_data_root(cfg: RunConfig) -> str:
+    """The on-disk store root for cfg.data_path ('synthetic[:N]' resolves to
+    its per-geometry fixture directory)."""
+    if cfg.data_path.startswith("synthetic"):
+        return os.path.join("data", f"synthetic-p{cfg.p_size}")
+    return cfg.data_path
+
+
 def load_stores(cfg: RunConfig, frames_dir: str = "frames", audio_dir: str = "audio",
                 ) -> Tuple[Optional[FrameShardStore], Optional[AudioMemmap]]:
     """Open the ingested data stores under cfg.data_path.
@@ -54,7 +80,7 @@ def load_stores(cfg: RunConfig, frames_dir: str = "frames", audio_dir: str = "au
 
         n = int(cfg.data_path.split(":", 1)[1]) if ":" in cfg.data_path else 4
         # one store per frame size so geometry changes never alias
-        out = os.path.join("data", f"synthetic-p{cfg.p_size}")
+        out = resolve_data_root(cfg)
         frames_path = os.path.join(out, "frames")
         audio_path = os.path.join(out, "audio")
         if not os.path.exists(os.path.join(frames_path, "meta.json")):
@@ -72,6 +98,21 @@ def load_stores(cfg: RunConfig, frames_dir: str = "frames", audio_dir: str = "au
             f"and {audio_dir}/ from tools/ingest.py) — or pass "
             f"--data_path synthetic for the built-in fixture dataset")
     return frames, audio
+
+
+def load_pgram_store(cfg: RunConfig) -> Optional[FrameShardStore]:
+    """Open the precomputed-phasegram shard store when --pgram_cache is set
+    (fusion regimes; build with save_phasegrams.py). None when the flag is
+    off; a clear SystemExit when the flag is set but the store is missing."""
+    if not cfg.pgram_cache:
+        return None
+    d = os.path.join(resolve_data_root(cfg), f"pgrams-p{cfg.p_size}")
+    if not os.path.exists(os.path.join(d, "meta.json")):
+        raise SystemExit(
+            f"--pgram_cache set but no store at {d} — build it once with: "
+            f"python save_phasegrams.py --data_path {cfg.data_path} "
+            f"--p_size {cfg.p_size}")
+    return FrameShardStore(d)
 
 
 def default_mesh(cfg: RunConfig):
@@ -111,10 +152,8 @@ def build_fusion(cfg: RunConfig, batch_size: int,
         rnn_cell=cfg.rnn_cell, rnn_unroll=cfg.rnn_unroll,
         mask_head=cfg.mask_head,
     )
-    x_a = jnp.zeros(model.stft_shape, jnp.float32)
-    x_v = jnp.zeros(model.pgram_shape, jnp.float32)
-    variables = model.init(jax.random.PRNGKey(cfg.seed), x_a, x_v,
-                           method=model.init_all)
+    variables = jit_init(model, model.stft_shape, model.pgram_shape,
+                         seed=cfg.seed, method=model.init_all)
     tx = make_optimizer(cfg.learning_rate, optimizer, trainable=trainable,
                         params=variables["params"])
     return model, create_train_state(variables, tx)
@@ -135,10 +174,8 @@ def build_frames_model(cfg: RunConfig, batch_size: int, frame_size: int,
         rnn_cell=cfg.rnn_cell, rnn_unroll=cfg.rnn_unroll,
         mask_head=cfg.mask_head, mask_mid_frame=(cfg.num_seq - 1) // 2,
     )
-    x_a = jnp.zeros(model.stft_shape, jnp.float32)
-    x_v = jnp.zeros(model.frame_shape, jnp.float32)
-    variables = model.init(jax.random.PRNGKey(cfg.seed), x_a, x_v,
-                           method=model.init_all)
+    variables = jit_init(model, model.stft_shape, model.frame_shape,
+                         seed=cfg.seed, method=model.init_all)
     tx = make_optimizer(cfg.learning_rate, "adam")
     return model, create_train_state(variables, tx)
 

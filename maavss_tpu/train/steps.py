@@ -96,6 +96,22 @@ def norm_per_example(feats: jnp.ndarray) -> jnp.ndarray:
     return feats / m
 
 
+def _pflat_from_batch(batch, cfg: RunConfig) -> jnp.ndarray:
+    """Per-frame phasegram cumsum rows [B, T, p^2] for the fusion regimes:
+    precomputed at ingest (batch['pgram'], float16 rows from
+    save_phasegrams.py — skips the per-step fft2/fftshift/angle/cumsum chain)
+    or computed on device from the raw frames."""
+    if "pgram" in batch:
+        return batch["pgram"].astype(jnp.float32)
+    frames = frames_f32(batch["frames"])
+    resize = None if frames.shape[-1] == cfg.p_size else (cfg.p_size, cfg.p_size)
+    return phasegram_cumsum(frames, resize=resize)
+
+
+def _fusion_batch_spec(cfg: RunConfig):
+    return {"audio": 0, "pgram" if cfg.pgram_cache else "frames": 0}
+
+
 def _multistep(step: Callable, k: int) -> Callable:
     """K optimizer steps inside ONE compiled program: `lax.scan` over K
     stacked batches (leading axis K on every batch leaf), carrying the train
@@ -159,28 +175,41 @@ def _prep_stft_pair(
     return x, y
 
 
-def _accumulate(
+def _window_grads(
     window_loss: Callable[[Any, Any, jnp.ndarray], Tuple[jnp.ndarray, Tuple[Any, Metrics]]],
-    state: TrainState,
+    params: Any,
+    bstats: Any,
     num_windows: int,
-) -> Tuple[TrainState, Metrics]:
-    """Scan `num_windows` sliding windows, accumulating grads and carrying
-    BatchNorm stats; one optimizer step at the end (train.py:136-162:
-    per-window loss/num_seq backward, then a single optimizer.step())."""
+) -> Tuple[Any, Any, Metrics]:
+    """Scan `num_windows` sliding windows, summing grads and carrying
+    BatchNorm stats (train.py:136-162's per-window backward) — no optimizer
+    update, so callers can nest this inside a microbatch scan."""
     grad_fn = jax.value_and_grad(window_loss, has_aux=True)
-    zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+    zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
     zero_metrics = {"loss": jnp.zeros(()), "a_loss": jnp.zeros(()), "v_loss": jnp.zeros(())}
 
     def body(carry, j):
         grads_acc, bstats, macc = carry
-        (loss, (new_bstats, m)), grads = grad_fn(state.params, bstats, j)
+        (loss, (new_bstats, m)), grads = grad_fn(params, bstats, j)
         grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
         macc = {k: macc[k] + m[k] / num_windows for k in macc}
         return (grads_acc, new_bstats, macc), None
 
     (grads, bstats, metrics), _ = jax.lax.scan(
-        body, (zero_grads, state.batch_stats, zero_metrics), jnp.arange(num_windows)
+        body, (zero_grads, bstats, zero_metrics), jnp.arange(num_windows)
     )
+    return grads, bstats, metrics
+
+
+def _accumulate(
+    window_loss: Callable[[Any, Any, jnp.ndarray], Tuple[jnp.ndarray, Tuple[Any, Metrics]]],
+    state: TrainState,
+    num_windows: int,
+) -> Tuple[TrainState, Metrics]:
+    """_window_grads + one optimizer step at the end (train.py:136-162:
+    per-window loss/num_seq backward, then a single optimizer.step())."""
+    grads, bstats, metrics = _window_grads(
+        window_loss, state.params, state.batch_stats, num_windows)
     metrics = {**metrics, **_watch_metrics(grads, state.params)}
     new_state = state.apply_gradients(grads=grads, batch_stats=bstats)
     return new_state, metrics
@@ -223,12 +252,10 @@ def make_fusion_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
         x_full, y_full = _prep_stft_pair(
             batch["audio"], cfg, rng, trim_end=True, max_norm=cfg.normalize_output_fft
         )
-        frames = frames_f32(batch["frames"])
         a_mask = jnp.where(mode == 1, 0.0, 1.0)
         v_mask = jnp.where(mode == 0, 0.0, 1.0)
         ya_mask = jnp.where((mode == 1) & bool(obj_zeros), 0.0, 1.0)
-        resize = None if frames.shape[-1] == cfg.p_size else (cfg.p_size, cfg.p_size)
-        p_flat = phasegram_cumsum(frames, resize=resize)
+        p_flat = _pflat_from_batch(batch, cfg)
 
         # static window offsets -> plain slices, folded into the batch dim
         def fold(full):
@@ -260,7 +287,7 @@ def make_fusion_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
         return new_state, metrics
 
     if window_mode == "vectorized":
-        return _jit_step(step_vectorized, mesh, {"audio": 0, "frames": 0},
+        return _jit_step(step_vectorized, mesh, _fusion_batch_spec(cfg),
                          state_shardings, k_steps)
 
     def step(state: TrainState, batch, rng: jax.Array, mode: jnp.ndarray):
@@ -268,17 +295,14 @@ def make_fusion_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
         x_full, y_full = _prep_stft_pair(
             batch["audio"], cfg, rng, trim_end=True, max_norm=cfg.normalize_output_fft
         )
-        frames = frames_f32(batch["frames"])  # [B, T_total, p, p]
         a_mask = jnp.where(mode == 1, 0.0, 1.0)  # visual-only zeroes audio in
         v_mask = jnp.where(mode == 0, 0.0, 1.0)  # audio-only zeroes visual in
         ya_mask = jnp.where((mode == 1) & bool(obj_zeros), 0.0, 1.0)
 
-        # shards may store frames above phasegram resolution; resize on device
-        resize = None if frames.shape[-1] == cfg.p_size else (cfg.p_size, cfg.p_size)
-        # per-frame phase rows computed ONCE for the whole clip; windows share
-        # their overlapping frames' fft2 (diff + norm stay per-window,
-        # train.py:139 parity — see phasegram_cumsum)
-        p_flat = phasegram_cumsum(frames, resize=resize)
+        # per-frame phase rows computed ONCE for the whole clip (or read
+        # precomputed via --pgram_cache); windows share their overlapping
+        # frames' fft2 (diff + norm stay per-window, train.py:139 parity)
+        p_flat = _pflat_from_batch(batch, cfg)
 
         def window_loss(params, bstats, j):
             pw = jax.lax.dynamic_slice_in_dim(p_flat, j, nf, axis=1)
@@ -295,8 +319,8 @@ def make_fusion_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
 
         return _accumulate(window_loss, state, ns)
 
-    batch_spec = {"audio": 0, "frames": 0}
-    return _jit_step(step, mesh, batch_spec, state_shardings, k_steps)
+    return _jit_step(step, mesh, _fusion_batch_spec(cfg), state_shardings,
+                     k_steps)
 
 
 def make_fusion_middle_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
@@ -319,11 +343,9 @@ def make_fusion_middle_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
         x_full, y_full = _prep_stft_pair(
             batch["audio"], cfg, rng, trim_end=True, max_norm=cfg.normalize_output_fft
         )
-        frames = frames_f32(batch["frames"])
         a_mask = jnp.where(mode == 1, 0.0, 1.0)
         v_mask = jnp.where(mode == 0, 0.0, 1.0)
-        resize = None if frames.shape[-1] == cfg.p_size else (cfg.p_size, cfg.p_size)
-        p_flat = phasegram_cumsum(frames, resize=resize)
+        p_flat = _pflat_from_batch(batch, cfg)
         mid_lo, mid_hi = idx_middle * a, (idx_middle + 1) * a
 
         def window_loss(params, bstats, j):
@@ -342,7 +364,7 @@ def make_fusion_middle_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
 
         return _accumulate(window_loss, state, ns)
 
-    return _jit_step(step, mesh, {"audio": 0, "frames": 0}, state_shardings,
+    return _jit_step(step, mesh, _fusion_batch_spec(cfg), state_shardings,
                      k_steps)
 
 
@@ -358,22 +380,26 @@ def make_frames_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
     Each window predicts only the middle frame's `hops_per_frame` STFT columns
     and one attention frame (train_avse_frames.py:150-181). STFT keeps the
     Nyquist bin (F = fft_len//2 + 1) per the final model's geometry.
+
+    `cfg.microbatch > 1` scans M sequential batch chunks per optimizer step
+    (grads averaged over chunks) — the honest fix for the regime's HBM
+    ceiling: b256 OOMs the 16 GB v5e even WITH remat because the first conv3d
+    stage's single live intermediate is ~8.6 GB at b256 (measured,
+    BASELINE.md round-3 frames table), and rematerialization cannot shrink a
+    single op's output. Microbatching caps peak memory at one chunk's
+    forward/backward. Deviation: BatchNorm batch statistics are per-chunk
+    (carried chunk to chunk like the window scan carries them window to
+    window); gradients are exact up to that BN difference
+    (tests/test_train_steps.py).
     """
     a, nf, ns = cfg.hops_per_frame, cfg.num_frames, cfg.num_seq
     coeff, obj_zeros = cfg.loss_coeff, cfg.objective_zeros
     idx_middle = (ns - 1) // 2  # train_avse_frames.py:105
     apply_train = _train_apply(model, cfg.remat)
+    mb = max(1, int(cfg.microbatch))
 
-    def step(state: TrainState, batch, rng: jax.Array, mode: jnp.ndarray):
-        mode = jnp.asarray(mode)
-        x_full, y_full = _prep_stft_pair(
-            batch["audio"], cfg, rng, trim_end=False, max_norm=cfg.normalize_output_fft
-        )
-        frames = frames_f32(batch["frames"])[:, :, None]  # [B, T_total, 1, H, W]
-        a_in_mask = jnp.where(mode == 1, 0.0, 1.0)
-        v_in_mask = jnp.where(mode == 0, 0.0, 1.0)
-        ya_mask = jnp.where((mode == 1) & bool(obj_zeros), 0.0, 1.0)
-        yv_mask = jnp.where((mode == 0) & bool(obj_zeros), 0.0, 1.0)
+    def make_window_loss(frames, x_full, y_full, masks):
+        a_in_mask, v_in_mask, ya_mask, yv_mask = masks
 
         def window_loss(params, bstats, j):
             fr = jax.lax.dynamic_slice_in_dim(frames, j, nf, axis=1)  # [B,nf,1,H,W]
@@ -391,7 +417,50 @@ def make_frames_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
             return loss / ns, (mut["batch_stats"],
                                {"loss": loss, "a_loss": a_loss, "v_loss": v_loss})
 
-        return _accumulate(window_loss, state, ns)
+        return window_loss
+
+    def step(state: TrainState, batch, rng: jax.Array, mode: jnp.ndarray):
+        mode = jnp.asarray(mode)
+        x_full, y_full = _prep_stft_pair(
+            batch["audio"], cfg, rng, trim_end=False, max_norm=cfg.normalize_output_fft
+        )
+        frames = frames_f32(batch["frames"])[:, :, None]  # [B, T_total, 1, H, W]
+        masks = (jnp.where(mode == 1, 0.0, 1.0),
+                 jnp.where(mode == 0, 0.0, 1.0),
+                 jnp.where((mode == 1) & bool(obj_zeros), 0.0, 1.0),
+                 jnp.where((mode == 0) & bool(obj_zeros), 0.0, 1.0))
+
+        if mb == 1:
+            return _accumulate(make_window_loss(frames, x_full, y_full, masks),
+                               state, ns)
+
+        b = frames.shape[0]
+        if b % mb:
+            raise ValueError(f"batch size {b} not divisible by microbatch {mb}")
+
+        def chunked(t):  # [B, ...] -> [M, B/M, ...]
+            return t.reshape((mb, b // mb) + t.shape[1:])
+
+        def chunk_body(carry, inp):
+            grads_acc, bstats, macc = carry
+            fr, xf, yf = inp
+            grads, bstats, m = _window_grads(
+                make_window_loss(fr, xf, yf, masks), state.params, bstats, ns)
+            grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+            macc = {k: macc[k] + m[k] / mb for k in macc}
+            return (grads_acc, bstats, macc), None
+
+        zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        zero_metrics = {"loss": jnp.zeros(()), "a_loss": jnp.zeros(()),
+                        "v_loss": jnp.zeros(())}
+        (grads, bstats, metrics), _ = jax.lax.scan(
+            chunk_body, (zero_grads, state.batch_stats, zero_metrics),
+            (chunked(frames), chunked(x_full), chunked(y_full)))
+        # each chunk's mse already averages over its B/M examples; the mean
+        # over equal chunks equals the full-batch mean
+        grads = jax.tree_util.tree_map(lambda g: g / mb, grads)
+        metrics = {**metrics, **_watch_metrics(grads, state.params)}
+        return state.apply_gradients(grads=grads, batch_stats=bstats), metrics
 
     batch_spec = {"audio": 0, "frames": 0}
     return _jit_step(step, mesh, batch_spec, state_shardings, k_steps)
@@ -446,12 +515,9 @@ def make_fusion_eval(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
         x_full, y_full = _prep_stft_pair(
             batch["audio"], cfg, rng, trim_end=True, max_norm=cfg.normalize_output_fft
         )
-        frames = frames_f32(batch["frames"])
         a_mask = jnp.where(mode == 1, 0.0, 1.0)
         v_mask = jnp.where(mode == 0, 0.0, 1.0)
-
-        resize = None if frames.shape[-1] == cfg.p_size else (cfg.p_size, cfg.p_size)
-        p_flat = phasegram_cumsum(frames, resize=resize)
+        p_flat = _pflat_from_batch(batch, cfg)
 
         def window(j):
             pw = jax.lax.dynamic_slice_in_dim(p_flat, j, nf, axis=1)
@@ -476,10 +542,11 @@ def make_fusion_eval(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
         return jax.jit(evaluate)
     repl = NamedSharding(mesh, P())
     bshard = NamedSharding(mesh, P(DATA_AXIS))
+    bspec = jax.tree_util.tree_map(lambda _: bshard, _fusion_batch_spec(cfg))
     sshard = state_shardings if state_shardings is not None else repl
     return jax.jit(
         evaluate,
-        in_shardings=(sshard, {"audio": bshard, "frames": bshard}, repl, repl),
+        in_shardings=(sshard, bspec, repl, repl),
         out_shardings=repl,
     )
 

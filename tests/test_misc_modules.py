@@ -89,8 +89,10 @@ def test_bench_json_contract(tmp_path):
                 "PYTHONPATH": repo})
     code = ("import jax; jax.config.update('jax_platforms','cpu');"
             "import runpy; runpy.run_path('bench.py', run_name='__main__')")
+    # 447 s measured alone on the single core — 1200 gives headroom for the
+    # inevitable concurrent-compile contention of a shared slow-tier run
     r = subprocess.run([sys.executable, "-c", code], cwd=repo, env=env,
-                       capture_output=True, text=True, timeout=540)
+                       capture_output=True, text=True, timeout=1200)
     assert r.returncode == 0, r.stderr[-2000:]
     lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
     assert len(lines) == 1, r.stdout

@@ -235,3 +235,64 @@ def test_remat_step_matches_plain():
                     jax.tree_util.tree_leaves(outs[True][1])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_frames_microbatch_matches_monolithic():
+    """--microbatch (scan-accumulated batch chunks in the frames step) on a
+    batch whose two chunks are identical copies must match the monolithic
+    step exactly: duplicating examples changes neither BatchNorm batch stats
+    nor the mse, so per-chunk stats == full-batch stats and the averaged
+    chunk grads == the full-batch grads (up to fp reassociation)."""
+    cfg = CFG.replace(num_frames=2, num_seq=2, framesize=24)
+    t_stft = cfg.hops_per_frame * cfg.num_frames
+    bsz = 4
+    stft_shape = (bsz, 2, t_stft, cfg.fft_len // 2 + 1)
+    frame_shape = (bsz, 1, cfg.num_frames, cfg.framesize, cfg.framesize)
+    model = AVFusionFramesModel(
+        stft_shape=stft_shape, frame_shape=frame_shape,
+        hops_per_frame=cfg.hops_per_frame, latent_channels=8,
+    )
+    x_a = jnp.zeros(stft_shape)
+    x_v = jnp.zeros(frame_shape)
+    vs = model.init(jax.random.PRNGKey(0), x_a, x_v, method=model.init_all)
+    half = synthetic_av_batch(cfg, bsz // 2, seed=0, frame_size=cfg.framesize)
+    # identical chunks: [c, c] — chunk 0 == chunk 1 under reshape(M, B/M)
+    batch = {k: np.concatenate([v, v], axis=0) for k, v in half.items()}
+    rng = jax.random.PRNGKey(0)
+
+    # the noise draw in _prep_stft_pair is per-ELEMENT, which would break the
+    # duplicated-chunk identity; zero it for exactness
+    cfg = cfg.replace(noise_scalar=0.0)
+
+    outs = {}
+    for mb in (1, 2):
+        state = create_train_state(
+            jax.tree_util.tree_map(jnp.copy, vs),
+            make_optimizer(cfg.learning_rate, "sgd"))
+        step = make_frames_step(model, cfg.replace(microbatch=mb))
+        state, metrics = step(state, batch, rng, jnp.int32(2))
+        outs[mb] = (float(metrics["loss"]), state.params)
+
+    assert outs[1][0] == pytest.approx(outs[2][0], rel=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(outs[1][1]),
+                    jax.tree_util.tree_leaves(outs[2][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_frames_microbatch_rejects_indivisible_batch():
+    cfg = CFG.replace(num_frames=2, num_seq=2, framesize=24, microbatch=3)
+    t_stft = cfg.hops_per_frame * cfg.num_frames
+    stft_shape = (4, 2, t_stft, cfg.fft_len // 2 + 1)
+    frame_shape = (4, 1, cfg.num_frames, cfg.framesize, cfg.framesize)
+    model = AVFusionFramesModel(
+        stft_shape=stft_shape, frame_shape=frame_shape,
+        hops_per_frame=cfg.hops_per_frame, latent_channels=8,
+    )
+    vs = model.init(jax.random.PRNGKey(0), jnp.zeros(stft_shape),
+                    jnp.zeros(frame_shape), method=model.init_all)
+    state = create_train_state(vs, make_optimizer(1e-3, "adam"))
+    step = make_frames_step(model, cfg)
+    batch = synthetic_av_batch(cfg, 4, seed=0, frame_size=cfg.framesize)
+    with pytest.raises(ValueError, match="microbatch"):
+        step(state, batch, jax.random.PRNGKey(0), jnp.int32(2))

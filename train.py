@@ -17,7 +17,8 @@ from maavss_tpu.config import RunConfig, model_args
 from maavss_tpu.data.dataset import AVDataset, split_train_val
 from maavss_tpu.exp.checkpoint import save_model
 from maavss_tpu.train.setup import (apply_mesh_model, build_fusion, default_mesh,
-                                    init_runtime, load_stores, make_stream, run_name)
+                                    init_runtime, load_pgram_store, load_stores,
+                                    make_stream, run_name)
 from maavss_tpu.train.steps import make_fusion_eval, make_fusion_step
 from maavss_tpu.train.trainer import Trainer
 
@@ -27,7 +28,8 @@ def train(config: RunConfig = None):
     init_runtime()
     frames, audio = load_stores(cfg)
     clip_len = cfg.num_frames + cfg.num_seq  # train.py:33-43
-    dataset = AVDataset(cfg, frames, audio, clip_len)
+    dataset = AVDataset(cfg, frames, audio, clip_len,
+                        pgrams=load_pgram_store(cfg))
     tr_idx, va_idx = split_train_val(len(dataset), cfg.split, cfg.seed)
     mesh = default_mesh(cfg)
 

@@ -16,8 +16,8 @@ from maavss_tpu.config import RunConfig, model_args
 from maavss_tpu.data.dataset import AVDataset, split_train_val
 from maavss_tpu.exp.checkpoint import load_model
 from maavss_tpu.train.setup import (
-    FUSION_SUBNETS, build_fusion, default_mesh, init_runtime, load_stores,
-    make_stream, run_name,
+    FUSION_SUBNETS, apply_mesh_model, build_fusion, default_mesh, init_runtime,
+    load_pgram_store, load_stores, make_stream, run_name,
 )
 from maavss_tpu.train.steps import make_fusion_eval, make_fusion_step
 from maavss_tpu.train.trainer import Trainer
@@ -27,7 +27,8 @@ def train(config: RunConfig = None):
     cfg = config or model_args()
     init_runtime()
     frames, audio = load_stores(cfg)
-    dataset = AVDataset(cfg, frames, audio, cfg.num_frames + cfg.num_seq)
+    dataset = AVDataset(cfg, frames, audio, cfg.num_frames + cfg.num_seq,
+                        pgrams=load_pgram_store(cfg))
     tr_idx, va_idx = split_train_val(len(dataset), cfg.split, cfg.seed)
     mesh = default_mesh(cfg)
 
