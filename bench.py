@@ -125,7 +125,9 @@ def measure_jax_clips_per_sec(batch_size: int, steps: int = 50, warmup: int = 5,
             rows = phasegram_cumsum(frames_f32(jnp.asarray(batch["frames"])))
             batch = {"audio": batch["audio"],
                      "pgram": _np.asarray(rows, _np.float16)}
-    tx = make_optimizer(cfg.learning_rate, "adam")
+    # MAAVSS_BENCH_FUSED_OPT=1: flat-buffer fused Adam (--fused_opt)
+    fused_opt = os.environ.get("MAAVSS_BENCH_FUSED_OPT", "0") == "1"
+    tx = make_optimizer(cfg.learning_rate, "adam", flat=fused_opt)
     state = create_train_state(variables, tx)
 
     mesh = make_mesh() if n_dev > 1 else None
@@ -249,6 +251,7 @@ def main() -> None:
         and regime == "fusion",
         "lstm": os.environ.get("MAAVSS_LSTM", "auto"),
         "microbatch": int(os.environ.get("MAAVSS_BENCH_MICROBATCH", "1")),
+        "fused_opt": os.environ.get("MAAVSS_BENCH_FUSED_OPT", "0") == "1",
     }))
 
 

@@ -60,22 +60,35 @@ def main() -> None:
     # isolates the DEVICE cost of the Adam update from the per-dispatch relay
     # floor. If scanned << dispatched, the dispatched number was measuring the
     # relay, not parameter-side HBM traffic.
-    @jax.jit
-    def opt_scan(state, grads):
-        def body(st, _):
-            return st.apply_gradients(grads=grads), None
-        new, _ = jax.lax.scan(body, state, None, length=50)
-        return new, jax.tree_util.tree_leaves(new.params)[0].ravel()[0]
+    def measure_scan(state):
+        @jax.jit
+        def opt_scan(state, grads):
+            def body(st, _):
+                return st.apply_gradients(grads=grads), None
+            new, _ = jax.lax.scan(body, state, None, length=50)
+            return new, jax.tree_util.tree_leaves(new.params)[0].ravel()[0]
 
-    state, probe = opt_scan(state, grads)
-    float(probe)  # warm
-    scan_times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
         state, probe = opt_scan(state, grads)
-        float(probe)
-        scan_times.append((time.perf_counter() - t0) / 50)
-    scan_med = statistics.median(scan_times)
+        float(probe)  # warm
+        scan_times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            state, probe = opt_scan(state, grads)
+            float(probe)
+            scan_times.append((time.perf_counter() - t0) / 50)
+        return statistics.median(scan_times), scan_times
+
+    scan_med, scan_times = measure_scan(state)
+
+    # A/B: the flat fused Adam (train/flat_opt.py, --fused_opt) on the same
+    # param tree — moments in one contiguous buffer, a handful of full-width
+    # kernels instead of ~50 per-leaf ones.
+    from maavss_tpu.train.state import create_train_state, make_optimizer
+
+    flat_state = create_train_state(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        make_optimizer(cfg.learning_rate, "adam", flat=True))
+    flat_med, flat_times = measure_scan(flat_state)
 
     # speed-of-light: read p,g,m,v + write p,m,v = 7 arrays of fp32 params
     sol_ms = 7 * n_params * 4 / 819e9 * 1e3  # v5e ~819 GB/s HBM
@@ -85,6 +98,8 @@ def main() -> None:
         "windows_ms": [round(t * 1e3, 3) for t in times],
         "scanned_update_ms": round(scan_med * 1e3, 3),
         "scanned_windows_ms": [round(t * 1e3, 3) for t in scan_times],
+        "flat_scanned_update_ms": round(flat_med * 1e3, 3),
+        "flat_scanned_windows_ms": [round(t * 1e3, 3) for t in flat_times],
         "hbm_speed_of_light_ms": round(sol_ms, 3),
     }))
 

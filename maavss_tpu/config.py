@@ -94,6 +94,12 @@ class RunConfig:
     #   instead of computing fft2/angle/cumsum per step; rows ship float16
     #   (2x the bytes of the uint8 frames they replace — a compute-for-wire
     #   trade measured in BASELINE.md)
+    fused_opt: bool = False  # flat-buffer fused optimizer (train/flat_opt.py):
+    #   Adam moments in one contiguous buffer, update as a few full-width
+    #   kernels. Measured SLOWER on v5e (BASELINE.md round 3b: XLA already
+    #   fuses per-leaf chains; the flatten passes add HBM traffic) — kept as
+    #   an honest negative result / for launch-bound hosts. Incompatible
+    #   with staged trainable-prefix training and with --mesh_model > 1.
     steps_per_dispatch: int = 1  # K > 1 stages K batches on device and runs
     #   K full optimizer steps inside ONE compiled program (lax.scan over the
     #   stacked batches) — dispatch amortization for host/relay-bound
@@ -233,6 +239,9 @@ def build_parser(parser: Optional[argparse.ArgumentParser] = None) -> argparse.A
     p.add_argument("--pgram_cache", action="store_true",
                    help="use precomputed phasegram rows from "
                         "save_phasegrams.py (fusion regimes)")
+    p.add_argument("--fused_opt", action="store_true",
+                   help="flat-buffer fused optimizer (moments in one "
+                        "contiguous buffer; fewer, full-width update kernels)")
     p.add_argument("--steps_per_dispatch", type=int, default=1,
                    help="optimizer steps per compiled dispatch (K batches "
                         "staged on device, lax.scan over them)")

@@ -82,7 +82,13 @@ class MetricsLogger:
 
 
 class Meter:
-    """Throughput meter: clips/sec (and per-chip), wall-clock windowed."""
+    """Throughput meter: clips/sec (and per-chip), wall-clock windowed.
+
+    This is DISPATCH-side wall clock: it is bounded by the per-cb_freq
+    metric fetch (which forces execution), but between fetches it can run
+    transiently optimistic on relay-attached backends where dispatch
+    returns before the device finishes. Quotable numbers come from
+    bench.py's fetch-closed windows, never from this meter."""
 
     def __init__(self, n_chips: int = 1):
         self.n_chips = max(1, n_chips)

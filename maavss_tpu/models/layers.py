@@ -114,13 +114,11 @@ class LSTM(nn.Module):
     unroll: int = 1
     backend: Optional[str] = None  # scan | pallas | auto ($MAAVSS_LSTM; auto)
 
-    # 'auto' picks the fused Pallas recurrence (ops/pallas_lstm.py) on TPU when
-    # its whole-sequence VMEM residency fits; the backward is the hungriest
-    # pass: xw+dxw [T,B,4H] + ys/cs/dys [T,B,H] ≈ T*B*11H elements. 64 MiB is
-    # a conservative cap under the v5e's 128 MiB VMEM (fp32 step intermediates
-    # also live there). Measured end-to-end: +2.3% at the bench geometry
-    # (BASELINE.md round-3 kernel table).
-    _PALLAS_VMEM_CAP_BYTES = 64 * 1024 * 1024
+    # 'auto' picks the fused Pallas recurrence (ops/pallas_lstm.py) on TPU.
+    # The kernel batch-blocks itself to a VMEM budget (its _batch_block), so
+    # it fits at any power-of-two-divisible batch; pallas_fits is False only
+    # for odd/tiny geometries the blocker cannot split. Measured end-to-end:
+    # +2.3% at the bench geometry (BASELINE.md round-3 kernel table).
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -128,9 +126,10 @@ class LSTM(nn.Module):
 
         backend = self.backend or os.environ.get("MAAVSS_LSTM", "auto")
         if backend == "auto":
-            bsz_, t_ = x.shape[0], x.shape[1]
-            fit = (t_ * bsz_ * 11 * self.hidden * jnp.dtype(x.dtype).itemsize
-                   <= self._PALLAS_VMEM_CAP_BYTES)
+            from maavss_tpu.ops.pallas_lstm import pallas_fits
+
+            fit = pallas_fits(x.shape[1], x.shape[0], self.hidden,
+                              jnp.dtype(x.dtype).itemsize)
             backend = "pallas" if (
                 jax.default_backend() == "tpu" and fit) else "scan"
         d = x.shape[-1]

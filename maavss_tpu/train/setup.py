@@ -115,6 +115,16 @@ def load_pgram_store(cfg: RunConfig) -> Optional[FrameShardStore]:
     return FrameShardStore(d)
 
 
+def _flat_opt(cfg: RunConfig) -> bool:
+    """--fused_opt gate: the flat moment buffers cannot shard per-leaf over
+    the 'model' axis (parallel/mesh.shard_state's shape rule), so the
+    combination is an error rather than a silent de-optimization."""
+    if cfg.fused_opt and cfg.mesh_model > 1:
+        raise SystemExit("--fused_opt is incompatible with --mesh_model > 1 "
+                         "(flat moment buffers cannot tensor-shard per-leaf)")
+    return cfg.fused_opt
+
+
 def default_mesh(cfg: RunConfig):
     n = len(jax.devices())
     if n <= 1:
@@ -155,7 +165,7 @@ def build_fusion(cfg: RunConfig, batch_size: int,
     variables = jit_init(model, model.stft_shape, model.pgram_shape,
                          seed=cfg.seed, method=model.init_all)
     tx = make_optimizer(cfg.learning_rate, optimizer, trainable=trainable,
-                        params=variables["params"])
+                        params=variables["params"], flat=_flat_opt(cfg))
     return model, create_train_state(variables, tx)
 
 
@@ -176,7 +186,7 @@ def build_frames_model(cfg: RunConfig, batch_size: int, frame_size: int,
     )
     variables = jit_init(model, model.stft_shape, model.frame_shape,
                          seed=cfg.seed, method=model.init_all)
-    tx = make_optimizer(cfg.learning_rate, "adam")
+    tx = make_optimizer(cfg.learning_rate, "adam", flat=_flat_opt(cfg))
     return model, create_train_state(variables, tx)
 
 

@@ -55,9 +55,25 @@ def make_optimizer(
     name: str = "adam",
     trainable: Optional[Sequence[str]] = None,
     params: Optional[Any] = None,
+    flat: bool = False,
 ) -> optax.GradientTransformation:
     """Adam (reference default, train.py:55) or SGD (main.py:61); optional
-    trainable-prefix mask for staged training."""
+    trainable-prefix mask for staged training. `flat=True` selects the
+    flat-buffer fused variants (train/flat_opt.py) — same math, moments in
+    one contiguous buffer so the update runs as a few full-width kernels
+    instead of ~50 per-leaf ones; incompatible with the trainable mask."""
+    if flat:
+        if trainable is not None:
+            raise ValueError("--fused_opt is incompatible with staged "
+                             "trainable-prefix training (per-leaf masking "
+                             "needs per-leaf optimizer state)")
+        from maavss_tpu.train.flat_opt import flat_adam, flat_sgd
+
+        if name == "adam":
+            return flat_adam(learning_rate)
+        if name == "sgd":
+            return flat_sgd(learning_rate)
+        raise ValueError(f"--fused_opt supports adam|sgd, not {name}")
     if name == "adam":
         tx = optax.adam(learning_rate)
     elif name == "sgd":

@@ -63,6 +63,51 @@ def test_grads_match_scan():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_batch_blocked_grid_matches_scan(monkeypatch):
+    """Force the VMEM budget small enough that the kernel must split the
+    batch into multiple grid steps; value + grads must still match scan
+    (exercises the cross-block dwh scratch accumulation)."""
+    import maavss_tpu.ops.pallas_lstm as mod
+
+    big_b = 32  # blocker floors at blk=8, so B=32 -> 4 grid steps
+    cap = T * 8 * 11 * H * 4
+    monkeypatch.setattr(mod, "_VMEM_CAP_BYTES", cap)
+    assert mod._batch_block(T, big_b, H, 4) == 8
+    assert mod.pallas_fits(T, big_b, H, 4)
+
+    rng = np.random.default_rng(4)
+    xw = jnp.asarray(rng.standard_normal((T, big_b, 4 * H)).astype(np.float32) * 0.5)
+    w_h = jnp.asarray(rng.standard_normal((H, 4 * H)).astype(np.float32) * 0.2)
+    np.testing.assert_allclose(np.asarray(pallas_lstm(xw, w_h)),
+                               np.asarray(scan_lstm(xw, w_h)),
+                               rtol=1e-5, atol=1e-5)
+    w = jnp.asarray(np.random.default_rng(5)
+                    .standard_normal((T, big_b, H)).astype(np.float32))
+    gp = jax.grad(lambda a, b: jnp.sum(pallas_lstm(a, b) * w),
+                  argnums=(0, 1))(xw, w_h)
+    gs = jax.grad(lambda a, b: jnp.sum(scan_lstm(a, b) * w),
+                  argnums=(0, 1))(xw, w_h)
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gs[0]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gs[1]),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_batch_block_sizing():
+    """_batch_block halves while even, floors at 8, returns None when even
+    the floor cannot fit."""
+    from maavss_tpu.ops.pallas_lstm import _VMEM_CAP_BYTES, _batch_block
+
+    # tiny geometry: whole batch fits -> no split
+    assert _batch_block(6, 8, 16, 4) == 8
+    # huge T*H forces halving; result must divide B and fit
+    blk = _batch_block(32, 512, 512, 4)
+    assert blk is not None and 512 % blk == 0
+    assert 32 * blk * 11 * 512 * 4 <= _VMEM_CAP_BYTES
+    # odd batch that doesn't fit cannot be split -> None
+    assert _batch_block(4096, 7, 4096, 4) is None
+
+
 def test_grads_under_jit_and_second_order_shapes():
     xw, w_h = _inputs(3)
 
