@@ -23,7 +23,13 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from maavss_tpu.models.layers import ConvStack, TorchBatchNorm, make_birnn
+from maavss_tpu.models.layers import (
+    Conv3dDepthTaps,
+    ConvStack,
+    TorchBatchNorm,
+    make_birnn,
+    max_pool_reshape,
+)
 from maavss_tpu.ops.pallas_kernels import complex_mask_apply
 from maavss_tpu.models.shape_plan import (
     frames_visual_encoder_out_hw,
@@ -34,13 +40,37 @@ from maavss_tpu.models.shape_plan import (
 
 class FramesVisualEncoder(nn.Module):
     """Fixed 5-stage conv3d/BN/maxpool/LeakyReLU stack + spatial flatten
-    (avse_model_final.py:33-59). Input [B,1,T,H,W] -> [B,C,T,hw*hw]."""
+    (avse_model_final.py:33-59). Input [B,1,T,H,W] -> [B,C,T,hw*hw].
+
+    `conv_impl` / `pool_impl` select mathematically-identical executions of
+    the same ops (layers.Conv3dDepthTaps / layers.max_pool_reshape): the
+    frames step measured only ~8% of its HBM speed-of-light with XLA's
+    direct conv3d + reduce_window lowering (BASELINE.md round 3b roofline),
+    so the hot stack ships with the fast forms selectable. 'auto' resolves
+    from $MAAVSS_CONV3D / $MAAVSS_POOL, defaulting to the measured winner
+    per backend. Param trees are identical across impls (module names and
+    'kernel' shapes match), so checkpoints interchange."""
 
     latent_channels: int = 16
     dtype: jnp.dtype = jnp.float32
+    conv_impl: str = "auto"  # auto | direct | taps
+    pool_impl: str = "auto"  # auto | window | reshape
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        import os
+
+        conv_impl = self.conv_impl
+        if conv_impl == "auto":
+            conv_impl = os.environ.get("MAAVSS_CONV3D", "direct")
+        pool_impl = self.pool_impl
+        if pool_impl == "auto":
+            pool_impl = os.environ.get("MAAVSS_POOL", "window")
+        if conv_impl not in ("direct", "taps"):
+            raise ValueError(f"unknown conv3d impl {conv_impl}")
+        if pool_impl not in ("window", "reshape"):
+            raise ValueError(f"unknown pool impl {pool_impl}")
+
         # NCDHW -> NDHWC
         x = jnp.moveaxis(x, 1, -1)
         stages = [
@@ -50,13 +80,25 @@ class FramesVisualEncoder(nn.Module):
             (64, (2, 2), 3),
             (self.latent_channels, (3, 3), 3),
         ]
-        for out_ch, pad, pool in stages:
-            x = nn.Conv(
-                out_ch, kernel_size=(3, 5, 5), strides=(1, 1, 1),
-                padding=((1, 1), pad, pad), use_bias=False, dtype=self.dtype,
-            )(x)
+        for i, (out_ch, pad, pool) in enumerate(stages):
+            if conv_impl == "taps":
+                x = Conv3dDepthTaps(
+                    out_ch, kernel_size=(3, 5, 5),
+                    padding=((1, 1), pad, pad), use_bias=False,
+                    dtype=self.dtype, name=f"Conv_{i}",
+                )(x)
+            else:
+                x = nn.Conv(
+                    out_ch, kernel_size=(3, 5, 5), strides=(1, 1, 1),
+                    padding=((1, 1), pad, pad), use_bias=False,
+                    dtype=self.dtype, name=f"Conv_{i}",
+                )(x)
             x = TorchBatchNorm(dtype=self.dtype)(x, train)
-            x = nn.max_pool(x, window_shape=(1, pool, pool), strides=(1, pool, pool))
+            if pool_impl == "reshape":
+                x = max_pool_reshape(x, pool)
+            else:
+                x = nn.max_pool(x, window_shape=(1, pool, pool),
+                                strides=(1, pool, pool))
             x = nn.leaky_relu(x, negative_slope=0.01)  # torch LeakyReLU default
         x = jnp.moveaxis(x, -1, 1)  # -> NCDHW
         b, c, t = x.shape[0], x.shape[1], x.shape[2]

@@ -99,6 +99,75 @@ class ConvStack(nn.Module):
         return jnp.moveaxis(x, -1, 1)  # NHWC -> NCHW
 
 
+class Conv3dDepthTaps(nn.Module):
+    """Exact replacement for `nn.Conv` with a (KD, KH, KW) kernel at stride 1
+    on NDHWC input, computed as KD shifted 2-D convolutions summed over the
+    depth taps, each running on the depth-folded batch [B*D, H, W, C].
+
+    Same math, same param ('kernel', shape (KD,KH,KW,Cin,Cout), same default
+    init), so checkpoints interchange with the direct module when the module
+    `name` matches. Built to test whether XLA:TPU's true-3D conv lowering
+    caused the frames step's ~8%-of-HBM-roofline gap (BASELINE.md round 3b);
+    MEASURED 2.5x SLOWER end-to-end than the direct form (63.5 vs 156.2
+    clips/s at b128) — XLA's conv3d path is NOT the bottleneck, and the
+    extra slicing/summing traffic of this form costs more than it saves.
+    Kept as the measured negative result and for the stage-bisection probe
+    (benchmarks/frames_probe.py)."""
+
+    features: int
+    kernel_size: Tuple[int, int, int] = (3, 5, 5)
+    padding: Tuple[Tuple[int, int], ...] = ((1, 1), (2, 2), (2, 2))
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kd, kh, kw = self.kernel_size
+        (pd0, pd1), ph, pw = self.padding
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (kd, kh, kw, cin, self.features))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        x = x.astype(self.dtype)
+        kernel = kernel.astype(self.dtype)
+
+        b, d, h, w, _ = x.shape
+        xp = jnp.pad(x, ((0, 0), (pd0, pd1), (0, 0), (0, 0), (0, 0)))
+        d_out = d + pd0 + pd1 - kd + 1
+        y = None
+        for t in range(kd):
+            xs = jax.lax.slice_in_dim(xp, t, t + d_out, axis=1)
+            xs2 = xs.reshape((b * d_out,) + xs.shape[2:])
+            yt = jax.lax.conv_general_dilated(
+                xs2, kernel[t],
+                window_strides=(1, 1),
+                padding=(ph, pw),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            y = yt if y is None else y + yt
+        y = y.reshape((b, d_out) + y.shape[1:])
+        if bias is not None:
+            y = y + bias
+        return y
+
+
+def max_pool_reshape(x: jnp.ndarray, p: int) -> jnp.ndarray:
+    """Non-overlapping (1, p, p) max pool on NDHWC via crop+reshape+max —
+    identical values to `nn.max_pool(window=(1,p,p), strides=(1,p,p))`
+    (VALID drops the remainder, so crop first). Why: reduce_window's
+    backward lowers to SelectAndScatter, a notoriously slow TPU path; the
+    reshape form's backward is a plain compare+mask. Tie-breaking gradients
+    differ from reduce_window on exactly-equal window entries (measure-zero
+    with real activations); forward is bitwise identical."""
+    b, d, h, w, c = x.shape
+    hq, wq = h // p, w // p
+    x = x[:, :, : hq * p, : wq * p, :]
+    x = x.reshape(b, d, hq, p, wq, p, c)
+    return jnp.max(x, axis=(3, 5))
+
+
 class LSTM(nn.Module):
     """Unidirectional LSTM over [B, T, D] -> [B, T, H] via lax.scan.
 
