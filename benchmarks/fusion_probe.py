@@ -204,10 +204,24 @@ def main() -> None:
          (params, bstats, lstm_out, xs, ys, y_pg)),
         ("fullgrad", grad_closed(full_loss), (params, bstats, xs, ys, y_pg)),
     ]
+    from maavss_tpu.exp.profiling import compile_report
+
+    rooflines = {}
     for name, fn, fargs in parts:
         ms = _timed(fn, fargs, args.reps)
         results[name] = round(ms, 3)
-        print(json.dumps({"part": name, "ms": results[name]}), flush=True)
+        # relay-safe roofline next to the measured time: which wall is this
+        # stage near, and how many HBM bytes does XLA count for it
+        try:
+            rep = compile_report(fn, *fargs, measured_ms=ms)
+            rooflines[name] = {k: round(rep[k], 3) for k in
+                               ("sol_memory_ms", "sol_compute_ms",
+                                "mxu_pct", "hbm_pct")}
+            rooflines[name]["gbytes"] = round(rep["bytes_accessed"] / 1e9, 3)
+        except Exception as e:  # attribution still useful without it
+            rooflines[name] = {"error": str(e)[:120]}
+        print(json.dumps({"part": name, "ms": results[name],
+                          "roofline": rooflines[name]}), flush=True)
 
     # reference: the real product step (incl. Adam), same protocol
     tx = make_optimizer(cfg.learning_rate, "adam")
@@ -229,7 +243,8 @@ def main() -> None:
     print(json.dumps({"part": "step", "ms": results["step"]}), flush=True)
 
     print(json.dumps({"metric": "fusion_stage_ms", "batch": args.batch,
-                      "dtype": args.dtype, "results": results}))
+                      "dtype": args.dtype, "results": results,
+                      "rooflines": rooflines}))
 
 
 if __name__ == "__main__":
