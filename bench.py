@@ -126,8 +126,11 @@ def measure_jax_clips_per_sec(batch_size: int, steps: int = 50, warmup: int = 5,
             batch = {"audio": batch["audio"],
                      "pgram": _np.asarray(rows, _np.float16)}
     # MAAVSS_BENCH_FUSED_OPT=1: flat-buffer fused Adam (--fused_opt)
+    # MAAVSS_BENCH_OPT_KERNEL=pallas: per-leaf fused-kernel Adam (--opt_kernel)
     fused_opt = os.environ.get("MAAVSS_BENCH_FUSED_OPT", "0") == "1"
-    tx = make_optimizer(cfg.learning_rate, "adam", flat=fused_opt)
+    opt_kernel = os.environ.get("MAAVSS_BENCH_OPT_KERNEL", "xla")
+    tx = make_optimizer(cfg.learning_rate, "adam", flat=fused_opt,
+                        kernel=opt_kernel)
     state = create_train_state(variables, tx)
 
     mesh = make_mesh() if n_dev > 1 else None
@@ -252,6 +255,7 @@ def main() -> None:
         "lstm": os.environ.get("MAAVSS_LSTM", "auto"),
         "microbatch": int(os.environ.get("MAAVSS_BENCH_MICROBATCH", "1")),
         "fused_opt": os.environ.get("MAAVSS_BENCH_FUSED_OPT", "0") == "1",
+        "opt_kernel": os.environ.get("MAAVSS_BENCH_OPT_KERNEL", "xla"),
     }))
 
 

@@ -90,6 +90,14 @@ def main() -> None:
         make_optimizer(cfg.learning_rate, "adam", flat=True))
     flat_med, flat_times = measure_scan(flat_state)
 
+    # A/B: the per-leaf fused Pallas Adam (train/fused_adam.py,
+    # --opt_kernel pallas) — moments AND the parameter add in one VMEM pass
+    # per leaf, the HBM-minimum 7 passes.
+    pallas_state = create_train_state(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        make_optimizer(cfg.learning_rate, "adam", kernel="pallas"))
+    pallas_med, pallas_times = measure_scan(pallas_state)
+
     # speed-of-light: read p,g,m,v + write p,m,v = 7 arrays of fp32 params
     sol_ms = 7 * n_params * 4 / 819e9 * 1e3  # v5e ~819 GB/s HBM
     print(json.dumps({
@@ -100,6 +108,8 @@ def main() -> None:
         "scanned_windows_ms": [round(t * 1e3, 3) for t in scan_times],
         "flat_scanned_update_ms": round(flat_med * 1e3, 3),
         "flat_scanned_windows_ms": [round(t * 1e3, 3) for t in flat_times],
+        "pallas_scanned_update_ms": round(pallas_med * 1e3, 3),
+        "pallas_scanned_windows_ms": [round(t * 1e3, 3) for t in pallas_times],
         "hbm_speed_of_light_ms": round(sol_ms, 3),
     }))
 

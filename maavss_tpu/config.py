@@ -100,6 +100,13 @@ class RunConfig:
     #   fuses per-leaf chains; the flatten passes add HBM traffic) — kept as
     #   an honest negative result / for launch-bound hosts. Incompatible
     #   with staged trainable-prefix training and with --mesh_model > 1.
+    opt_kernel: str = "auto"  # adam update execution: auto | xla | pallas.
+    #   'pallas' (train/fused_adam.py) runs each leaf's moment updates AND
+    #   the parameter add in ONE fused VMEM pass — the parameter-side HBM
+    #   floor (BASELINE.md optimizer floor: 2.71 ms per-leaf optax vs
+    #   1.26 ms speed-of-light). 'auto' resolves per backend to the measured
+    #   winner (train/setup.py:_opt_kernel). Incompatible with staged
+    #   trainable-prefix training, --fused_opt, and --mesh_model > 1.
     steps_per_dispatch: int = 1  # K > 1 stages K batches on device and runs
     #   K full optimizer steps inside ONE compiled program (lax.scan over the
     #   stacked batches) — dispatch amortization for host/relay-bound
@@ -242,6 +249,11 @@ def build_parser(parser: Optional[argparse.ArgumentParser] = None) -> argparse.A
     p.add_argument("--fused_opt", action="store_true",
                    help="flat-buffer fused optimizer (moments in one "
                         "contiguous buffer; fewer, full-width update kernels)")
+    p.add_argument("--opt_kernel", type=str, default="auto",
+                   choices=("auto", "xla", "pallas"),
+                   help="adam update execution: fused per-leaf Pallas kernel "
+                        "or XLA's optax chain (auto = measured per-backend "
+                        "winner)")
     p.add_argument("--steps_per_dispatch", type=int, default=1,
                    help="optimizer steps per compiled dispatch (K batches "
                         "staged on device, lax.scan over them)")

@@ -125,6 +125,31 @@ def _flat_opt(cfg: RunConfig) -> bool:
     return cfg.fused_opt
 
 
+def _opt_kernel(cfg: RunConfig, trainable=None, optimizer: str = "adam") -> str:
+    """Resolve --opt_kernel. 'auto' picks the measured per-backend winner —
+    currently 'xla' everywhere (the pallas kernel is pending its on-chip
+    fetch-closed A/B; flip here when BASELINE.md records a win). Explicit
+    'pallas' fails loudly on the unsupported combinations instead of
+    silently de-optimizing."""
+    kernel = cfg.opt_kernel
+    if kernel == "auto":
+        return "xla"
+    if kernel == "pallas":
+        if cfg.mesh_model > 1:
+            raise SystemExit("--opt_kernel pallas is incompatible with "
+                             "--mesh_model > 1 (a pallas_call on a "
+                             "'model'-sharded leaf forces a gather)")
+        if cfg.fused_opt:
+            raise SystemExit("--opt_kernel pallas and --fused_opt are "
+                             "mutually exclusive")
+        if trainable is not None:
+            raise SystemExit("--opt_kernel pallas is incompatible with staged "
+                             "trainable-prefix training")
+        if optimizer != "adam":
+            raise SystemExit("--opt_kernel pallas supports adam only")
+    return kernel
+
+
 def default_mesh(cfg: RunConfig):
     n = len(jax.devices())
     if n <= 1:
@@ -165,7 +190,8 @@ def build_fusion(cfg: RunConfig, batch_size: int,
     variables = jit_init(model, model.stft_shape, model.pgram_shape,
                          seed=cfg.seed, method=model.init_all)
     tx = make_optimizer(cfg.learning_rate, optimizer, trainable=trainable,
-                        params=variables["params"], flat=_flat_opt(cfg))
+                        params=variables["params"], flat=_flat_opt(cfg),
+                        kernel=_opt_kernel(cfg, trainable, optimizer))
     return model, create_train_state(variables, tx)
 
 
@@ -186,7 +212,8 @@ def build_frames_model(cfg: RunConfig, batch_size: int, frame_size: int,
     )
     variables = jit_init(model, model.stft_shape, model.frame_shape,
                          seed=cfg.seed, method=model.init_all)
-    tx = make_optimizer(cfg.learning_rate, "adam", flat=_flat_opt(cfg))
+    tx = make_optimizer(cfg.learning_rate, "adam", flat=_flat_opt(cfg),
+                        kernel=_opt_kernel(cfg))
     return model, create_train_state(variables, tx)
 
 

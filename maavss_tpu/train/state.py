@@ -26,8 +26,15 @@ class TrainState(struct.PyTreeNode):
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
 
     def apply_gradients(self, grads, batch_stats=None) -> "TrainState":
-        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
-        new_params = optax.apply_updates(self.params, updates)
+        fused = getattr(self.tx, "fused_apply", None)
+        if fused is not None:
+            # --opt_kernel pallas (train/fused_adam.py): moments AND the
+            # parameter add in one kernel pass per leaf, skipping
+            # optax.apply_updates' separate materialize-the-update pass
+            new_params, new_opt_state = fused(grads, self.opt_state, self.params)
+        else:
+            updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+            new_params = optax.apply_updates(self.params, updates)
         return self.replace(
             step=self.step + 1,
             params=new_params,
@@ -56,12 +63,31 @@ def make_optimizer(
     trainable: Optional[Sequence[str]] = None,
     params: Optional[Any] = None,
     flat: bool = False,
+    kernel: str = "xla",
 ) -> optax.GradientTransformation:
     """Adam (reference default, train.py:55) or SGD (main.py:61); optional
     trainable-prefix mask for staged training. `flat=True` selects the
     flat-buffer fused variants (train/flat_opt.py) — same math, moments in
     one contiguous buffer so the update runs as a few full-width kernels
-    instead of ~50 per-leaf ones; incompatible with the trainable mask."""
+    instead of ~50 per-leaf ones; incompatible with the trainable mask.
+    `kernel='pallas'` selects the per-leaf fused-kernel Adam
+    (train/fused_adam.py): one VMEM pass per leaf including the parameter
+    add; incompatible with the trainable mask and with `flat`."""
+    if kernel not in ("xla", "pallas"):
+        raise ValueError(f"unknown optimizer kernel {kernel}")
+    if kernel == "pallas":
+        if name != "adam":
+            raise ValueError("--opt_kernel pallas supports adam only")
+        if trainable is not None:
+            raise ValueError("--opt_kernel pallas is incompatible with staged "
+                             "trainable-prefix training (the mask wraps "
+                             "update(), not the fused apply)")
+        if flat:
+            raise ValueError("--opt_kernel pallas and --fused_opt are "
+                             "mutually exclusive")
+        from maavss_tpu.train.fused_adam import pallas_adam
+
+        return pallas_adam(learning_rate)
     if flat:
         if trainable is not None:
             raise ValueError("--fused_opt is incompatible with staged "

@@ -45,7 +45,14 @@ until probe; do
   log "relay still down (attempt $attempt); sleeping 300s"
   sleep 300
 done
-log "relay is UP after $attempt retries; starting queue"
+log "relay is UP after $attempt retries"
+
+# host may have picked up new work while we waited for the relay
+while pgrep -x pytest >/dev/null 2>&1 || pgrep -f "pytest" >/dev/null 2>&1; do
+  log "relay up but host busy (pytest); sleeping 60s"
+  sleep 60
+done
+log "host idle; starting queue"
 
 run() {  # run <name> <timeout_s> <cmd...>
   local name=$1 tmo=$2; shift 2
@@ -66,6 +73,9 @@ run frames_bench_reshape 3600 env MAAVSS_POOL=reshape \
   MAAVSS_BENCH_REGIME=frames MAAVSS_BENCH_BATCH=256 MAAVSS_BENCH_MICROBATCH=2 \
   MAAVSS_BENCH_SKIP_BASELINE=1 python bench.py
 run fusion_probe_b256 5400 python benchmarks/fusion_probe.py --batch 256
+run opt_floor 5400 python benchmarks/opt_floor.py
+run bench_pallas_adam 3600 env MAAVSS_BENCH_OPT_KERNEL=pallas \
+  MAAVSS_BENCH_SKIP_BASELINE=1 python bench.py
 run headline_bench 3600 python bench.py
 
 log "queue complete"
