@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import signal
 from typing import Callable, Iterator, Optional
 
 import jax
@@ -77,6 +78,12 @@ class Trainer:
         self.epoch = 0
         self._rng = jax.random.PRNGKey(cfg.seed)
         self._np_rng = np.random.default_rng(cfg.seed)
+        # preemption safety (production TPU pools deliver SIGTERM before
+        # reclaiming a VM; the reference loses up to an epoch of work —
+        # SURVEY.md §5.3 "no preemption handling"). The handler only sets a
+        # flag; fit() finishes the in-flight step, drains metrics, saves a
+        # checkpoint and returns cleanly, so `-c` resumes from the same epoch.
+        self._preempted: Optional[int] = None
 
         if cfg.c or cfg.checkpoint is not None:
             self.state, self.epoch = load_checkpoint(
@@ -108,8 +115,52 @@ class Trainer:
                 # reference quirk: randint(0,2) -> {0,1} only
                 self.mode = int(self._np_rng.integers(0, 2))
 
+    def _install_signal_handlers(self):
+        """SIGTERM/SIGINT -> set the preempt flag (main thread only; under
+        pytest-in-thread or embedded use, signal.signal raises and the
+        feature degrades to off)."""
+        def handler(signum, frame):
+            del frame
+            self._preempted = signum
+
+        previous = {}
+        try:
+            for s in (signal.SIGTERM, signal.SIGINT):
+                previous[s] = signal.signal(s, handler)
+        except ValueError:  # not in the main thread
+            pass
+        return previous
+
+    def _restore_signal_handlers(self, previous) -> None:
+        for s, h in previous.items():
+            try:
+                signal.signal(s, h)
+            except ValueError:
+                pass
+
+    def _preempt_exit(self, drain, global_step: int,
+                      last_metrics) -> TrainState:
+        drain()
+        if not self.cfg.no_save:
+            save_checkpoint(self.cfg.cp_dir, self.run_name, self.state,
+                            self.epoch, last_metrics.get("loss", 0.0))
+        name = signal.Signals(self._preempted).name
+        self.logger.log({"preempted": 1.0, "epoch": self.epoch},
+                        step=global_step)
+        print(f"{name} received: checkpoint saved at epoch {self.epoch} "
+              f"step {global_step}; resume with -c")
+        return self.state
+
     def fit(self, train_batches: Iterator, val_batches: Optional[Iterator] = None
             ) -> TrainState:
+        previous_handlers = self._install_signal_handlers()
+        try:
+            return self._fit(train_batches, val_batches)
+        finally:
+            self._restore_signal_handlers(previous_handlers)
+
+    def _fit(self, train_batches: Iterator, val_batches: Optional[Iterator] = None
+             ) -> TrainState:
         cfg = self.cfg
         best_val = float("inf")
         global_step = int(self.state.step)
@@ -179,7 +230,11 @@ class Trainer:
                         global_step // cfg.cp_freq > (global_step - k) // cfg.cp_freq:
                     save_checkpoint(cfg.cp_dir, self.run_name, self.state, e,
                                     last_metrics.get("loss", 0.0))
+                if self._preempted is not None:
+                    return self._preempt_exit(drain, global_step, last_metrics)
             last_metrics = drain() or last_metrics  # flush the epoch tail
+            if self._preempted is not None:
+                return self._preempt_exit(drain, global_step, last_metrics)
 
             val_loss = None
             if self.eval_fn is not None and val_batches is not None and cfg.val_steps > 0:

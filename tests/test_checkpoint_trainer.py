@@ -157,3 +157,49 @@ class TestTrainer:
             mode_schedule="fixed", fixed_mode=0, checkpoint_policy="none")
         assert trainer2.epoch == cfg.epochs - 1
         assert int(trainer2.state.step) == cfg.epochs * cfg.steps_per_epoch
+
+
+class TestPreemption:
+    def test_sigterm_saves_checkpoint_and_exits(self, tmp_path):
+        """Production preemption path (SURVEY §5.3: the reference has none):
+        SIGTERM mid-epoch -> in-flight step finishes, metrics drain, one
+        checkpoint lands, fit() returns, handlers are restored, -c resumes."""
+        import signal as _signal
+
+        cfg = CFG.replace(cp_dir=str(tmp_path / "cp"),
+                          log_dir=str(tmp_path / "logs"),
+                          epochs=5, steps_per_epoch=4, cb_freq=100)
+        state = tiny_state(0)
+        calls = {"n": 0}
+
+        def step(state, batch, rng, mode):
+            calls["n"] += 1
+            if calls["n"] == 3:
+                os.kill(os.getpid(), _signal.SIGTERM)
+            return (state.replace(step=state.step + 1),
+                    {"loss": jnp.float32(0.5)})
+
+        def stream():
+            while True:
+                yield {"audio": np.zeros((cfg.batch_size, 8), np.float32)}
+
+        before = _signal.getsignal(_signal.SIGTERM)
+        trainer = Trainer(cfg, step, state, run_name="pre",
+                          mode_schedule="fixed", fixed_mode=0,
+                          checkpoint_policy="epoch")
+        out = trainer.fit(stream())
+        # stopped right after the signalled step, not at epochs*steps
+        assert calls["n"] == 3 and int(out.step) == 3
+        assert latest_checkpoint(cfg.cp_dir) is not None
+        assert _signal.getsignal(_signal.SIGTERM) is before
+        recs = [json.loads(l) for l in open(
+            os.path.join(cfg.log_dir, "pre", "metrics.jsonl"))]
+        assert any(r.get("preempted") for r in recs)
+        assert sum(1 for r in recs if "loss" in r) == 3
+
+        # -c resumes from the preempt checkpoint's epoch
+        cfg2 = cfg.replace(c=True)
+        t2 = Trainer(cfg2, step, tiny_state(1), run_name="pre2",
+                     mode_schedule="fixed", fixed_mode=0,
+                     checkpoint_policy="none")
+        assert int(t2.state.step) == 3 and t2.epoch == 0
