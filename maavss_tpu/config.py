@@ -85,10 +85,12 @@ class RunConfig:
     remat: bool = False  # rematerialize model forwards inside the windowed
     #   grad (jax.checkpoint): trades ~1/3 more FLOPs for activation memory,
     #   lifting the frames regime past its b128 HBM ceiling
-    microbatch: int = 1  # frames regime: M sequential batch chunks per
-    #   optimizer step (grads averaged) — caps peak HBM at one chunk's
-    #   forward/backward; the measured fix for the b256 OOM that remat cannot
-    #   reach (the first conv3d stage's single ~8.6 GB live intermediate)
+    microbatch: int = 1  # M sequential batch chunks per optimizer step
+    #   (grads averaged; frames AND fusion regimes) — caps peak HBM at one
+    #   chunk's forward/backward; the measured fix for the frames b256 OOM
+    #   that remat cannot reach (the first conv3d stage's single ~8.6 GB
+    #   live intermediate). Per-chunk BatchNorm/phasegram-norm statistics
+    #   are the documented deviation.
     pgram_cache: bool = False  # fusion regimes read ingest-time phasegram
     #   cumsum rows (save_phasegrams.py -> <data_path>/pgrams-p<p_size>/)
     #   instead of computing fft2/angle/cumsum per step; rows ship float16
@@ -241,8 +243,9 @@ def build_parser(parser: Optional[argparse.ArgumentParser] = None) -> argparse.A
                    help="jax.checkpoint the model forward in the windowed "
                         "grad (activation memory for ~1/3 more FLOPs)")
     p.add_argument("--microbatch", type=int, default=1,
-                   help="frames regime: sequential batch chunks per optimizer "
-                        "step (grad accumulation; lifts the HBM batch ceiling)")
+                   help="sequential batch chunks per optimizer step (grad "
+                        "accumulation; lifts the HBM batch ceiling — frames "
+                        "and fusion regimes)")
     p.add_argument("--pgram_cache", action="store_true",
                    help="use precomputed phasegram rows from "
                         "save_phasegrams.py (fusion regimes)")

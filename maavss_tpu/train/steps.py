@@ -215,6 +215,41 @@ def _accumulate(
     return new_state, metrics
 
 
+def _microbatch_accumulate(
+    state: TrainState,
+    mb: int,
+    leaves: Tuple[jnp.ndarray, ...],
+    chunk_grads: Callable,
+    ) -> Tuple[TrainState, Metrics]:
+    """Scan `mb` sequential batch chunks per optimizer step (--microbatch):
+    `chunk_grads(params, bstats, *chunk_leaves) -> (grads, bstats, metrics)`
+    runs per chunk, grads are averaged over chunks (each chunk's mse already
+    averages its B/mb examples, so the mean over equal chunks equals the
+    full-batch mean), BatchNorm statistics carry chunk to chunk (the
+    documented deviation — same as the window scan carries them window to
+    window). Caps peak memory at one chunk's forward/backward."""
+    b = leaves[0].shape[0]
+    if b % mb:
+        raise ValueError(f"batch size {b} not divisible by microbatch {mb}")
+    chunked = tuple(t.reshape((mb, b // mb) + t.shape[1:]) for t in leaves)
+    zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+    zero_metrics = {"loss": jnp.zeros(()), "a_loss": jnp.zeros(()),
+                    "v_loss": jnp.zeros(())}
+
+    def body(carry, chunk):
+        grads_acc, bstats, macc = carry
+        grads, bstats, m = chunk_grads(state.params, bstats, *chunk)
+        grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+        macc = {k: macc[k] + m[k] / mb for k in macc}
+        return (grads_acc, bstats, macc), None
+
+    (grads, bstats, metrics), _ = jax.lax.scan(
+        body, (zero_grads, state.batch_stats, zero_metrics), chunked)
+    grads = jax.tree_util.tree_map(lambda g: g / mb, grads)
+    metrics = {**metrics, **_watch_metrics(grads, state.params)}
+    return state.apply_gradients(grads=grads, batch_stats=bstats), metrics
+
+
 # ---------------------------------------------------------------------------
 # Fusion model (train.py / train_av_net.py regimes)
 # ---------------------------------------------------------------------------
@@ -239,12 +274,24 @@ def make_fusion_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
       (bf16, b128) this is ~16% FASTER than scan (BASELINE.md) and is
       bench.py's default; RunConfig keeps 'scan' as its default for exact
       reference semantics (per-window BatchNorm batches).
+
+    `cfg.microbatch > 1` scans M sequential batch chunks per optimizer step
+    (grads averaged; same scheme as the frames regime) — headroom for
+    batches past the HBM ceiling. Deviations, as everywhere microbatching
+    chunks the batch: BatchNorm statistics and the phasegram windows'
+    global max-norm are per-chunk (carried/computed over B/M examples).
     """
     a, nf, ns = cfg.hops_per_frame, cfg.num_frames, cfg.num_seq
     coeff, obj_zeros = cfg.loss_coeff, cfg.objective_zeros
     if window_mode not in ("scan", "vectorized"):
         raise ValueError(f"unknown window_mode {window_mode}")
     apply_train = _train_apply(model, cfg.remat)
+    mb = max(1, int(cfg.microbatch))
+
+    def _masks(mode):
+        return (jnp.where(mode == 1, 0.0, 1.0),  # visual-only zeroes audio in
+                jnp.where(mode == 0, 0.0, 1.0),  # audio-only zeroes visual in
+                jnp.where((mode == 1) & bool(obj_zeros), 0.0, 1.0))
 
     def step_vectorized(state: TrainState, batch, rng: jax.Array,
                         mode: jnp.ndarray):
@@ -252,36 +299,42 @@ def make_fusion_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
         x_full, y_full = _prep_stft_pair(
             batch["audio"], cfg, rng, trim_end=True, max_norm=cfg.normalize_output_fft
         )
-        a_mask = jnp.where(mode == 1, 0.0, 1.0)
-        v_mask = jnp.where(mode == 0, 0.0, 1.0)
-        ya_mask = jnp.where((mode == 1) & bool(obj_zeros), 0.0, 1.0)
+        a_mask, v_mask, ya_mask = _masks(mode)
         p_flat = _pflat_from_batch(batch, cfg)
 
-        # static window offsets -> plain slices, folded into the batch dim
-        def fold(full):
-            wins = [jax.lax.slice_in_dim(full, j * a, j * a + nf * a, axis=2)
-                    for j in range(ns)]
-            stacked = jnp.stack(wins, axis=1)  # [B, ns, ...]
-            return stacked.reshape((-1,) + stacked.shape[2:])
+        def vec_grads(params, bstats, x_f, y_f, p_f):
+            # static window offsets -> plain slices, folded into the batch dim
+            def fold(full):
+                wins = [jax.lax.slice_in_dim(full, j * a, j * a + nf * a, axis=2)
+                        for j in range(ns)]
+                stacked = jnp.stack(wins, axis=1)  # [B, ns, ...]
+                return stacked.reshape((-1,) + stacked.shape[2:])
 
-        # per-window phasegram finishing preserves per-window normalization
-        pg_wins = jnp.stack([phasegram_window(p_flat[:, j:j + nf])
-                             for j in range(ns)], axis=1)
-        y_pg = pg_wins.reshape((-1,) + pg_wins.shape[2:])
-        xs = fold(x_full)
-        ys = fold(y_full)
+            # per-window phasegram finishing preserves per-window normalization
+            pg_wins = jnp.stack([phasegram_window(p_f[:, j:j + nf])
+                                 for j in range(ns)], axis=1)
+            y_pg = pg_wins.reshape((-1,) + pg_wins.shape[2:])
+            xs = fold(x_f)
+            ys = fold(y_f)
 
-        def loss_fn(params, bstats):
-            (yh_a, yh_v, _), mut = apply_train(
-                params, bstats, xs * a_mask, y_pg * v_mask)
-            a_loss = mse(yh_a, ys * ya_mask)
-            v_loss = mse(yh_v, y_pg)
-            loss = a_loss + coeff * v_loss
-            return loss, (mut["batch_stats"],
-                          {"loss": loss, "a_loss": a_loss, "v_loss": v_loss})
+            def loss_fn(params, bstats):
+                (yh_a, yh_v, _), mut = apply_train(
+                    params, bstats, xs * a_mask, y_pg * v_mask)
+                a_loss = mse(yh_a, ys * ya_mask)
+                v_loss = mse(yh_v, y_pg)
+                loss = a_loss + coeff * v_loss
+                return loss, (mut["batch_stats"],
+                              {"loss": loss, "a_loss": a_loss, "v_loss": v_loss})
 
-        (loss, (bstats, metrics)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, state.batch_stats)
+            (_, (bstats, metrics)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, bstats)
+            return grads, bstats, metrics
+
+        if mb > 1:
+            return _microbatch_accumulate(state, mb, (x_full, y_full, p_flat),
+                                          vec_grads)
+        grads, bstats, metrics = vec_grads(
+            state.params, state.batch_stats, x_full, y_full, p_flat)
         metrics = {**metrics, **_watch_metrics(grads, state.params)}
         new_state = state.apply_gradients(grads=grads, batch_stats=bstats)
         return new_state, metrics
@@ -290,19 +343,8 @@ def make_fusion_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
         return _jit_step(step_vectorized, mesh, _fusion_batch_spec(cfg),
                          state_shardings, k_steps)
 
-    def step(state: TrainState, batch, rng: jax.Array, mode: jnp.ndarray):
-        mode = jnp.asarray(mode)
-        x_full, y_full = _prep_stft_pair(
-            batch["audio"], cfg, rng, trim_end=True, max_norm=cfg.normalize_output_fft
-        )
-        a_mask = jnp.where(mode == 1, 0.0, 1.0)  # visual-only zeroes audio in
-        v_mask = jnp.where(mode == 0, 0.0, 1.0)  # audio-only zeroes visual in
-        ya_mask = jnp.where((mode == 1) & bool(obj_zeros), 0.0, 1.0)
-
-        # per-frame phase rows computed ONCE for the whole clip (or read
-        # precomputed via --pgram_cache); windows share their overlapping
-        # frames' fft2 (diff + norm stay per-window, train.py:139 parity)
-        p_flat = _pflat_from_batch(batch, cfg)
+    def make_window_loss(x_full, y_full, p_flat, masks):
+        a_mask, v_mask, ya_mask = masks
 
         def window_loss(params, bstats, j):
             pw = jax.lax.dynamic_slice_in_dim(p_flat, j, nf, axis=1)
@@ -317,7 +359,29 @@ def make_fusion_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
             return loss / ns, (mut["batch_stats"],
                                {"loss": loss, "a_loss": a_loss, "v_loss": v_loss})
 
-        return _accumulate(window_loss, state, ns)
+        return window_loss
+
+    def step(state: TrainState, batch, rng: jax.Array, mode: jnp.ndarray):
+        mode = jnp.asarray(mode)
+        x_full, y_full = _prep_stft_pair(
+            batch["audio"], cfg, rng, trim_end=True, max_norm=cfg.normalize_output_fft
+        )
+        masks = _masks(mode)
+
+        # per-frame phase rows computed ONCE for the whole clip (or read
+        # precomputed via --pgram_cache); windows share their overlapping
+        # frames' fft2 (diff + norm stay per-window, train.py:139 parity)
+        p_flat = _pflat_from_batch(batch, cfg)
+
+        if mb > 1:
+            def chunk_grads(params, bstats, xf, yf, pf):
+                return _window_grads(make_window_loss(xf, yf, pf, masks),
+                                     params, bstats, ns)
+
+            return _microbatch_accumulate(state, mb, (x_full, y_full, p_flat),
+                                          chunk_grads)
+        return _accumulate(make_window_loss(x_full, y_full, p_flat, masks),
+                           state, ns)
 
     return _jit_step(step, mesh, _fusion_batch_spec(cfg), state_shardings,
                      k_steps)
@@ -337,15 +401,10 @@ def make_fusion_middle_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
     coeff = cfg.loss_coeff
     idx_middle = (ns - 1) // 2
     apply_train = _train_apply(model, cfg.remat)
+    mb = max(1, int(cfg.microbatch))
 
-    def step(state: TrainState, batch, rng: jax.Array, mode: jnp.ndarray):
-        mode = jnp.asarray(mode)
-        x_full, y_full = _prep_stft_pair(
-            batch["audio"], cfg, rng, trim_end=True, max_norm=cfg.normalize_output_fft
-        )
-        a_mask = jnp.where(mode == 1, 0.0, 1.0)
-        v_mask = jnp.where(mode == 0, 0.0, 1.0)
-        p_flat = _pflat_from_batch(batch, cfg)
+    def make_window_loss(x_full, y_full, p_flat, masks):
+        a_mask, v_mask = masks
         mid_lo, mid_hi = idx_middle * a, (idx_middle + 1) * a
 
         def window_loss(params, bstats, j):
@@ -362,7 +421,26 @@ def make_fusion_middle_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
             return loss / ns, (mut["batch_stats"],
                                {"loss": loss, "a_loss": a_loss, "v_loss": v_loss})
 
-        return _accumulate(window_loss, state, ns)
+        return window_loss
+
+    def step(state: TrainState, batch, rng: jax.Array, mode: jnp.ndarray):
+        mode = jnp.asarray(mode)
+        x_full, y_full = _prep_stft_pair(
+            batch["audio"], cfg, rng, trim_end=True, max_norm=cfg.normalize_output_fft
+        )
+        masks = (jnp.where(mode == 1, 0.0, 1.0),
+                 jnp.where(mode == 0, 0.0, 1.0))
+        p_flat = _pflat_from_batch(batch, cfg)
+
+        if mb > 1:
+            def chunk_grads(params, bstats, xf, yf, pf):
+                return _window_grads(make_window_loss(xf, yf, pf, masks),
+                                     params, bstats, ns)
+
+            return _microbatch_accumulate(state, mb, (x_full, y_full, p_flat),
+                                          chunk_grads)
+        return _accumulate(make_window_loss(x_full, y_full, p_flat, masks),
+                           state, ns)
 
     return _jit_step(step, mesh, _fusion_batch_spec(cfg), state_shardings,
                      k_steps)
@@ -434,33 +512,12 @@ def make_frames_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
             return _accumulate(make_window_loss(frames, x_full, y_full, masks),
                                state, ns)
 
-        b = frames.shape[0]
-        if b % mb:
-            raise ValueError(f"batch size {b} not divisible by microbatch {mb}")
+        def chunk_grads(params, bstats, fr, xf, yf):
+            return _window_grads(make_window_loss(fr, xf, yf, masks),
+                                 params, bstats, ns)
 
-        def chunked(t):  # [B, ...] -> [M, B/M, ...]
-            return t.reshape((mb, b // mb) + t.shape[1:])
-
-        def chunk_body(carry, inp):
-            grads_acc, bstats, macc = carry
-            fr, xf, yf = inp
-            grads, bstats, m = _window_grads(
-                make_window_loss(fr, xf, yf, masks), state.params, bstats, ns)
-            grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
-            macc = {k: macc[k] + m[k] / mb for k in macc}
-            return (grads_acc, bstats, macc), None
-
-        zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-        zero_metrics = {"loss": jnp.zeros(()), "a_loss": jnp.zeros(()),
-                        "v_loss": jnp.zeros(())}
-        (grads, bstats, metrics), _ = jax.lax.scan(
-            chunk_body, (zero_grads, state.batch_stats, zero_metrics),
-            (chunked(frames), chunked(x_full), chunked(y_full)))
-        # each chunk's mse already averages over its B/M examples; the mean
-        # over equal chunks equals the full-batch mean
-        grads = jax.tree_util.tree_map(lambda g: g / mb, grads)
-        metrics = {**metrics, **_watch_metrics(grads, state.params)}
-        return state.apply_gradients(grads=grads, batch_stats=bstats), metrics
+        return _microbatch_accumulate(state, mb, (frames, x_full, y_full),
+                                      chunk_grads)
 
     batch_spec = {"audio": 0, "frames": 0}
     return _jit_step(step, mesh, batch_spec, state_shardings, k_steps)

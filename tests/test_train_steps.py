@@ -296,3 +296,50 @@ def test_frames_microbatch_rejects_indivisible_batch():
     batch = synthetic_av_batch(cfg, 4, seed=0, frame_size=cfg.framesize)
     with pytest.raises(ValueError, match="microbatch"):
         step(state, batch, jax.random.PRNGKey(0), jnp.int32(2))
+
+
+@pytest.mark.parametrize("window_mode", ["scan", "vectorized"])
+def test_fusion_microbatch_matches_monolithic(window_mode):
+    """--microbatch on the fusion regimes (both window modes), duplicated
+    chunks: per-chunk BatchNorm stats and phasegram max-norms equal the
+    full-batch ones, so grads/params must match the monolithic step."""
+    cfg = CFG.replace(batch_size=4, noise_scalar=0.0)
+    rng = jax.random.PRNGKey(0)
+    half = synthetic_av_batch(cfg, 2, seed=0)
+    batch = {k: np.concatenate([v, v], axis=0) for k, v in half.items()}
+
+    t_stft = cfg.hops_per_frame * cfg.num_frames
+    model = AVFusionModel(
+        stft_shape=(4, 2, t_stft, cfg.fft_len // 2),
+        pgram_shape=(4, 1, cfg.num_frames, cfg.p_size**2),
+        latent_channels=cfg.latent_chan, fc_size=cfg.fc_size)
+    vs = model.init(jax.random.PRNGKey(0), jnp.zeros(model.stft_shape),
+                    jnp.zeros(model.pgram_shape), method=model.init_all)
+
+    outs = {}
+    for mb in (1, 2):
+        # sgd: adam's first step is ~lr*sign(grad), which amplifies fp
+        # reassociation noise on near-zero grads (same rationale as
+        # __graft_entry__'s equivalence check)
+        state = create_train_state(
+            jax.tree_util.tree_map(jnp.copy, vs),
+            make_optimizer(cfg.learning_rate, "sgd"))
+        step = make_fusion_step(model, cfg.replace(microbatch=mb),
+                                window_mode=window_mode)
+        state, metrics = step(state, batch, rng, jnp.int32(2))
+        outs[mb] = (float(metrics["loss"]), state.params)
+
+    assert outs[1][0] == pytest.approx(outs[2][0], rel=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(outs[1][1]),
+                    jax.tree_util.tree_leaves(outs[2][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_fusion_middle_microbatch_runs():
+    cfg = CFG.replace(batch_size=4, microbatch=2)
+    model, state = fusion_model_and_state(cfg, 4)
+    step = make_fusion_middle_step(model, cfg)
+    batch = synthetic_av_batch(cfg, 4, seed=0)
+    state, metrics = step(state, batch, jax.random.PRNGKey(1), jnp.int32(2))
+    assert np.isfinite(float(metrics["loss"]))
