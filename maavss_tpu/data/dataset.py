@@ -75,12 +75,32 @@ class AVDataset:
                     f"audio memmap has {len(audio)} files for {len(frames)} "
                     f"videos and names don't match")
             self._audio_of_video = list(range(len(frames)))
+        self._apply_max_clip_len()
+
+    def _apply_max_clip_len(self) -> None:
+        """--max_clip_len (run_config.py:39): the reference drops videos with
+        more than N frames at dataset build (utilities.py:117-119, a loading
+        speed filter). The decoded shards already exist here, so the filter
+        drops those videos' clips from the index view instead."""
+        self._clip_map = None
+        if self.cfg.max_clip_len is None:
+            return
+        nf_of = [self.frames.num_frames(v) for v in range(len(self.frames))]
+        self._clip_map = np.asarray(
+            [i for i in range(self.index.num_clips())
+             if nf_of[self.index.clip_frame_indices(i)[0]]
+             <= self.cfg.max_clip_len],
+            np.int64)
+
+    def _clip_id(self, idx: int) -> int:
+        return int(self._clip_map[idx]) if self._clip_map is not None else idx
 
     def __len__(self) -> int:
-        return self.index.num_clips()
+        return (len(self._clip_map) if self._clip_map is not None
+                else self.index.num_clips())
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
-        v, frame_idx = self.index.clip_frame_indices(idx)
+        v, frame_idx = self.index.clip_frame_indices(self._clip_id(idx))
         out: Dict[str, np.ndarray] = {}
         if self.mode in ("av", "video"):
             if self.pgrams is not None:
@@ -139,9 +159,10 @@ class VideoDataset(AVDataset):
             video_fps=[frames.fps(v) for v in range(len(frames))],
             clip_len=clip_len, frame_hop=cfg.frame_hop, framerate=cfg.framerate,
         )
+        self._apply_max_clip_len()
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
-        v, frame_idx = self.index.clip_frame_indices(idx)
+        v, frame_idx = self.index.clip_frame_indices(self._clip_id(idx))
         return {"frames": self.frames.read(v, frame_idx)}
 
 

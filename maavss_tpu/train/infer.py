@@ -19,7 +19,7 @@ from maavss_tpu.config import RunConfig
 from maavss_tpu.ops.metrics import si_sdr
 from maavss_tpu.ops.phasegram import phasegram_window
 from maavss_tpu.ops.stft import istft_features
-from maavss_tpu.train.steps import _pflat_from_batch, _prep_stft_pair, frames_f32
+from maavss_tpu.train.steps import _pflat_from_batch, _prep_stft_pair, _vis_frames
 from maavss_tpu.train.state import TrainState
 
 
@@ -46,7 +46,7 @@ def make_frames_separator(model, cfg: RunConfig):
         x_full, y_full = _prep_stft_pair(
             batch["audio"], cfg, rng, trim_end=False,
             max_norm=cfg.normalize_output_fft)
-        frames = frames_f32(batch["frames"])[:, :, None]  # [B,T,1,H,W]
+        frames = _vis_frames(batch, cfg)[:, :, None]  # [B,T,1,H,W]
 
         def body(yh_full, j):
             fr = jax.lax.dynamic_slice_in_dim(frames, j, nf, axis=1)

@@ -96,14 +96,36 @@ def norm_per_example(feats: jnp.ndarray) -> jnp.ndarray:
     return feats / m
 
 
+def attn_diff_frames(frames: jnp.ndarray) -> jnp.ndarray:
+    """--attn_diff: attention frames -> their temporal difference with a
+    zero-padded first frame (av_dataset.py:322-325; the reference's CACHED
+    read path diffs the wrong axis with no pad — torch.diff default dim at
+    av_dataset.py:268 — we implement the intended op everywhere, documented
+    deviation). Applies along the frame axis of [B, T, H, W] (or [B,T,1,H,W])."""
+    d = jnp.diff(frames, axis=1)
+    pad = jnp.zeros_like(d[:, :1])
+    return jnp.concatenate([pad, d], axis=1)
+
+
+def _vis_frames(batch, cfg: RunConfig) -> jnp.ndarray:
+    """Raw attention frames -> float32 [0,1] (+ --attn_diff temporal diff)."""
+    frames = frames_f32(batch["frames"])
+    return attn_diff_frames(frames) if cfg.attn_diff else frames
+
+
 def _pflat_from_batch(batch, cfg: RunConfig) -> jnp.ndarray:
     """Per-frame phasegram cumsum rows [B, T, p^2] for the fusion regimes:
     precomputed at ingest (batch['pgram'], float16 rows from
     save_phasegrams.py — skips the per-step fft2/fftshift/angle/cumsum chain)
     or computed on device from the raw frames."""
     if "pgram" in batch:
+        if cfg.attn_diff:
+            raise ValueError(
+                "--attn_diff differentiates the raw attention frames before "
+                "the phasegram fft2, which precomputed --pgram_cache rows "
+                "skip; drop one of the two flags")
         return batch["pgram"].astype(jnp.float32)
-    frames = frames_f32(batch["frames"])
+    frames = _vis_frames(batch, cfg)
     resize = None if frames.shape[-1] == cfg.p_size else (cfg.p_size, cfg.p_size)
     return phasegram_cumsum(frames, resize=resize)
 
@@ -163,8 +185,15 @@ def _jit_step(step: Callable, mesh: Optional[Mesh], batch_spec: Any,
 def _prep_stft_pair(
     audio: jnp.ndarray, cfg: RunConfig, rng: jax.Array, trim_end: bool, max_norm: bool
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """audio [B,S] -> (x_stft, y_stft) [B,2,T,F]: STFT, optional per-example
-    max-norm, then additive-noise input (av_dataset.py:335-342,217-220)."""
+    """audio [B,S] -> (x_stft, y_stft) [B,2,T,F]: optional SoX-contrast
+    compression (--compress_audio, av_dataset.py:213-214), STFT, optional
+    per-example max-norm, then additive-noise input
+    (av_dataset.py:335-342,217-220). Shared by the train steps, the eval fns
+    AND the separators, so features always match across them."""
+    if cfg.compress_audio:
+        from maavss_tpu.ops.audio import contrast
+
+        audio = contrast(audio)
     y = stft_features(
         audio, cfg.fft_len, cfg.hop,
         normalized=cfg.normalize_fft, trim_end=trim_end, polar=cfg.use_polar,
@@ -502,7 +531,7 @@ def make_frames_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
         x_full, y_full = _prep_stft_pair(
             batch["audio"], cfg, rng, trim_end=False, max_norm=cfg.normalize_output_fft
         )
-        frames = frames_f32(batch["frames"])[:, :, None]  # [B, T_total, 1, H, W]
+        frames = _vis_frames(batch, cfg)[:, :, None]  # [B, T_total, 1, H, W]
         masks = (jnp.where(mode == 1, 0.0, 1.0),
                  jnp.where(mode == 0, 0.0, 1.0),
                  jnp.where((mode == 1) & bool(obj_zeros), 0.0, 1.0),
@@ -633,7 +662,7 @@ def make_visual_ae_eval(model, cfg: RunConfig):
     @jax.jit
     def evaluate(state: TrainState, batch, rng: jax.Array, mode: jnp.ndarray):
         del rng, mode
-        frames = frames_f32(batch["frames"])
+        frames = _vis_frames(batch, cfg)
         resize = None if frames.shape[-1] == cfg.p_size else (cfg.p_size, cfg.p_size)
         y_pg = video_phasegram(frames, resize=resize)
         yh = model.apply(
@@ -653,7 +682,7 @@ def make_visual_ae_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
 
     def step(state: TrainState, batch, rng: jax.Array, mode: jnp.ndarray):
         del rng, mode
-        frames = frames_f32(batch["frames"])
+        frames = _vis_frames(batch, cfg)
         resize = None if frames.shape[-1] == cfg.p_size else (cfg.p_size, cfg.p_size)
         y_pg = video_phasegram(frames, resize=resize)  # [B,1,T,p^2]
 

@@ -34,6 +34,11 @@ def main() -> None:
                    help="path to dino_deitsmall8_pretrain.pth")
     p.add_argument("--chunk", type=int, default=64, help="frames per ViT batch")
     p.add_argument("--patch_size", type=int, default=8)
+    p.add_argument("--autocontrast", action="store_true",
+                   help="per-channel min/max contrast remap before the ViT "
+                        "(reference --autocontrast, av_dataset.py:318-319; "
+                        "the reference applies it AFTER ImageNet Normalize — "
+                        "order preserved)")
     args = p.parse_args()
 
     store = FrameShardStore(os.path.join(args.data_path, "frames"))
@@ -62,6 +67,10 @@ def main() -> None:
             else:
                 fr = fr.transpose(0, 3, 1, 2)
             fr = (fr - mean) / std  # av_dataset.py:108-112 Normalize
+            if args.autocontrast:
+                from maavss_tpu.ops.image import autocontrast
+
+                fr = np.asarray(autocontrast(jnp.asarray(fr)))
             maps.append(np.asarray(va(jnp.asarray(fr)))[:, 0])
         attn = np.concatenate(maps, axis=0)
         write_frame_shard(out, vid, (np.clip(attn, 0, 1) * 255).astype(np.uint8),
