@@ -165,3 +165,42 @@ def test_pallas_adam_product_step_loss_matches():
         losses[kernel] = ls
     np.testing.assert_allclose(losses["pallas"], losses["xla"],
                                rtol=1e-5, atol=1e-7)
+
+
+def test_pallas_adam_under_multistep_scan():
+    """--opt_kernel pallas composes with --steps_per_dispatch (the fused
+    kernel with input_output_aliases runs inside lax.scan): K=2 scanned
+    matches 2 sequential steps."""
+    from maavss_tpu.config import RunConfig
+    from maavss_tpu.data.synthetic import synthetic_av_batch
+    from maavss_tpu.train.setup import build_fusion
+    from maavss_tpu.train.steps import make_fusion_step
+
+    cfg = RunConfig(num_frames=4, num_seq=4, hops_per_frame=4, fft_len=64,
+                    p_size=16, latent_chan=8, fc_size=256, batch_size=2,
+                    opt_kernel="pallas")
+    model, state0 = build_fusion(cfg, cfg.batch_size)
+    batch = synthetic_av_batch(cfg, 2, seed=0)
+    rng = jax.random.PRNGKey(3)
+
+    state_seq = jax.tree_util.tree_map(
+        lambda x: jnp.array(x, copy=True) if isinstance(x, jax.Array) else x,
+        state0)
+    step1 = make_fusion_step(model, cfg, window_mode="vectorized")
+    seq_losses = []
+    for i in range(2):
+        state_seq, m = step1(state_seq, batch,
+                             jax.random.fold_in(rng, i), jnp.int32(2))
+        seq_losses.append(float(m["loss"]))
+
+    stepk = make_fusion_step(model, cfg, window_mode="vectorized", k_steps=2)
+    stacked = jax.tree_util.tree_map(lambda x: np.stack([x, x]), batch)
+    state_k, mk = stepk(state0, stacked, rng, jnp.int32(2))
+    np.testing.assert_allclose(np.asarray(mk["loss"]), seq_losses, rtol=1e-5)
+    # atol 1e-4: scanned and sequential are different compilations, and
+    # Adam's m/(sqrt(v)+eps) amplifies grad-reassociation noise on
+    # near-zero leaves — the XLA kernel shows the same ~5e-6 drift here
+    for a, b in zip(jax.tree_util.tree_leaves(state_seq.params),
+                    jax.tree_util.tree_leaves(state_k.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
