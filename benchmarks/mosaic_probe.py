@@ -80,6 +80,9 @@ def main() -> None:
     w = int(os.environ.get("MAAVSS_PROBE_WIDTH", "4096"))
     x = jnp.asarray(np.random.default_rng(0).random((rows, w)), jnp.float32)
     blk = min(256, rows)
+    if rows % blk:
+        raise SystemExit(f"MAAVSS_PROBE_ROWS={rows} must be a multiple of "
+                         f"{blk} (grids use rows // blk)")
 
     spec_in = pl.BlockSpec((blk, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
     spec_half = pl.BlockSpec((blk, w // 2), lambda i: (i, 0),

@@ -101,7 +101,9 @@ class NativeAVLoader:
         fidx = np.empty((n, t_total), np.int64)
         sr = dataset.cfg.samplerate
         for row, i in enumerate(ids):
-            v, fi = dataset.index.clip_frame_indices(int(i))
+            # ids live in the dataset's (possibly --max_clip_len-filtered)
+            # index VIEW; translate to raw clip-index space like __getitem__
+            v, fi = dataset.index.clip_frame_indices(dataset._clip_id(int(i)))
             vid[row] = v
             fidx[row] = fi
             # same audio pairing + native-fps offset math as AVDataset

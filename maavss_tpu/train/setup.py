@@ -75,6 +75,13 @@ def load_stores(cfg: RunConfig, frames_dir: str = "frames", audio_dir: str = "au
     `--data_path synthetic[:N]` builds an on-the-fly synthetic store (no
     MUSICES download needed) under ./data/synthetic — the CI/smoke path.
     """
+    if cfg.autocontrast:
+        # the reference applies autocontrast inside its on-the-fly attention
+        # extraction (av_dataset.py:318-319); here attention is precomputed
+        # offline, so a train-time flag would silently do nothing
+        raise SystemExit(
+            "--autocontrast acts during attention extraction, which happens "
+            "at ingest here: pass it to save_attn_videos.py instead")
     if cfg.data_path.startswith("synthetic"):
         from maavss_tpu.data.synthetic import build_synthetic_store
 

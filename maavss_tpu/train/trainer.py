@@ -118,12 +118,19 @@ class Trainer:
     def _install_signal_handlers(self):
         """SIGTERM/SIGINT -> set the preempt flag (main thread only; under
         pytest-in-thread or embedded use, signal.signal raises and the
-        feature degrades to off)."""
+        feature degrades to off). A SECOND SIGINT restores the previous
+        handler and raises KeyboardInterrupt immediately — a graceful exit
+        needs the in-flight step to finish, which on a wedged relay compile
+        (CLAUDE.md) never happens, so repeated Ctrl+C must still kill."""
+        previous = {}
+
         def handler(signum, frame):
             del frame
+            if signum == signal.SIGINT and self._preempted is not None:
+                self._restore_signal_handlers(previous)
+                raise KeyboardInterrupt
             self._preempted = signum
 
-        previous = {}
         try:
             for s in (signal.SIGTERM, signal.SIGINT):
                 previous[s] = signal.signal(s, handler)
@@ -240,6 +247,12 @@ class Trainer:
             if self.eval_fn is not None and val_batches is not None and cfg.val_steps > 0:
                 vals = []
                 for _ in range(cfg.val_steps):
+                    # a SIGTERM grace window (30-90 s on TPU pools) is shorter
+                    # than a val sweep on relay-attached chips: bail between
+                    # eval dispatches too, not only at train-step boundaries
+                    if self._preempted is not None:
+                        return self._preempt_exit(drain, global_step,
+                                                  last_metrics)
                     vmetrics = self.eval_fn(
                         self.state, next(val_batches), self._next_rng(),
                         jnp.int32(self.mode),
@@ -259,5 +272,7 @@ class Trainer:
                         save_checkpoint(cfg.cp_dir, self.run_name, self.state,
                                         e, val_loss)
 
+            if self._preempted is not None:
+                return self._preempt_exit(drain, global_step, last_metrics)
             self._advance_mode()
         return self.state

@@ -203,3 +203,35 @@ class TestPreemption:
                      mode_schedule="fixed", fixed_mode=0,
                      checkpoint_policy="none")
         assert int(t2.state.step) == 3 and t2.epoch == 0
+
+    def test_second_sigint_raises_keyboard_interrupt(self, tmp_path):
+        """First Ctrl+C -> graceful preempt flag; second -> immediate
+        KeyboardInterrupt (a wedged relay compile never reaches the flag
+        check, so repeated Ctrl+C must still kill)."""
+        import signal as _signal
+
+        cfg = CFG.replace(cp_dir=str(tmp_path / "cp"),
+                          log_dir=str(tmp_path / "logs"),
+                          epochs=2, steps_per_epoch=4, cb_freq=100)
+        calls = {"n": 0}
+
+        def step(state, batch, rng, mode):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                os.kill(os.getpid(), _signal.SIGINT)  # flag set, loop exits...
+                os.kill(os.getpid(), _signal.SIGINT)  # ...but 2nd kills NOW
+            return (state.replace(step=state.step + 1),
+                    {"loss": jnp.float32(0.5)})
+
+        def stream():
+            while True:
+                yield {"audio": np.zeros((cfg.batch_size, 8), np.float32)}
+
+        before = _signal.getsignal(_signal.SIGINT)
+        trainer = Trainer(cfg, step, tiny_state(0), run_name="pre3",
+                          mode_schedule="fixed", fixed_mode=0,
+                          checkpoint_policy="none")
+        with pytest.raises(KeyboardInterrupt):
+            trainer.fit(stream())
+        assert calls["n"] == 2
+        assert _signal.getsignal(_signal.SIGINT) is before

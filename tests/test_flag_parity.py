@@ -117,3 +117,13 @@ def test_max_clip_len_filters_long_videos(tmp_path):
     for i in range(len(lim)):
         v, _ = lim.index.clip_frame_indices(lim._clip_id(i))
         assert frames.num_frames(v) <= 30
+
+
+def test_autocontrast_train_cli_errors_loudly():
+    """--autocontrast acts at attention-extraction (ingest) time here; a
+    train-time flag would silently do nothing, so load_stores rejects it
+    with a pointer to save_attn_videos.py."""
+    from maavss_tpu.train.setup import load_stores
+
+    with pytest.raises(SystemExit, match="save_attn_videos"):
+        load_stores(CFG.replace(autocontrast=True))

@@ -64,3 +64,47 @@ def test_native_subset(setup):
         b = next(loader)
         assert bytes(b["audio"][0]) in allowed
     loader.close()
+
+
+def test_native_loader_respects_max_clip_len(tmp_path):
+    """--max_clip_len filters the dataset's index VIEW; the native loader
+    must translate view ids through dataset._clip_id or it trains on raw
+    clips (including the filtered-out long video)."""
+    import os
+
+    from maavss_tpu.data import native_loader
+    from maavss_tpu.data.audio_memmap import AudioMemmap, build_audio_memmap
+    from maavss_tpu.data.frame_shards import FrameShardStore, write_frame_shard
+    from maavss_tpu.data.wavio import write_wav
+
+    if not native_loader.native_available():
+        pytest.skip("native loader not buildable here")
+
+    rng = np.random.default_rng(0)
+    frames_dir = str(tmp_path / "frames")
+    audio_dir = str(tmp_path / "audio")
+    os.makedirs(audio_dir)
+    lengths = {"vid0": 20, "vid1": 40}
+    for vid, n in lengths.items():
+        write_frame_shard(frames_dir, vid,
+                          (rng.random((n, CFG.p_size, CFG.p_size)) * 255)
+                          .astype(np.uint8), CFG.framerate, source=vid)
+        n_samp = int(n / CFG.framerate * CFG.samplerate) + CFG.samplerate
+        write_wav(os.path.join(audio_dir, f"{vid}.wav"),
+                  rng.standard_normal(n_samp).astype(np.float32) * 0.1,
+                  CFG.samplerate)
+    build_audio_memmap(
+        [os.path.join(audio_dir, f"{v}.wav") for v in lengths],
+        str(tmp_path / "mm"), CFG.samplerate)
+    ds = AVDataset(CFG.replace(max_clip_len=30), FrameShardStore(frames_dir),
+                   AudioMemmap(str(tmp_path / "mm")),
+                   CFG.num_frames + CFG.num_seq, cache_dir=str(tmp_path / "cc"))
+    assert len(ds) > 0
+    ref = [ds[i] for i in range(len(ds))]  # filtered view items only
+    loader = native_loader.NativeAVLoader(ds, batch_size=2, seed=3)
+    for _ in range(len(ds)):
+        b = next(loader)
+        for row in range(2):
+            assert any(np.array_equal(b["frames"][row], r["frames"])
+                       for r in ref), \
+                "native loader served a clip outside the filtered view"
