@@ -79,3 +79,9 @@ run bench_pallas_adam 3600 env MAAVSS_BENCH_OPT_KERNEL=pallas \
 run headline_bench 3600 python bench.py
 
 log "queue complete"
+
+# appended while the queue waits (safe: append-only, offsets unchanged;
+# if the running bash already buffered EOF these just don't auto-run —
+# run them manually after "queue complete")
+run mosaic_probe 3600 python benchmarks/mosaic_probe.py
+log "queue complete (incl. appended items)"
