@@ -85,3 +85,6 @@ log "queue complete"
 # run them manually after "queue complete")
 run mosaic_probe 3600 python benchmarks/mosaic_probe.py
 log "queue complete (incl. appended items)"
+run serve_bench_fusion 3600 python tools/serve_bench.py --calls 50 -b 8
+run serve_bench_frames 3600 python tools/serve_bench.py --model frames --calls 20 -b 8
+log "queue complete (incl. serve bench)"
