@@ -109,6 +109,11 @@ class RunConfig:
     #   1.26 ms speed-of-light). 'auto' resolves per backend to the measured
     #   winner (train/setup.py:_opt_kernel). Incompatible with staged
     #   trainable-prefix training, --fused_opt, and --mesh_model > 1.
+    pgenc_kernel: str = "xla"  # phasegram-encoder execution: xla | pallas.
+    #   'pallas' fuses each conv(1,9)/s2 + BN + tanh layer into one Pallas
+    #   program (ops/pallas_pgenc.py; identical param tree, checkpoints
+    #   interchange). Experimental until the on-chip mosaic probe + A/B
+    #   validate the Mosaic lowering (BASELINE.md round 3c).
     steps_per_dispatch: int = 1  # K > 1 stages K batches on device and runs
     #   K full optimizer steps inside ONE compiled program (lax.scan over the
     #   stacked batches) — dispatch amortization for host/relay-bound
@@ -257,6 +262,10 @@ def build_parser(parser: Optional[argparse.ArgumentParser] = None) -> argparse.A
                    help="adam update execution: fused per-leaf Pallas kernel "
                         "or XLA's optax chain (auto = measured per-backend "
                         "winner)")
+    p.add_argument("--pgenc_kernel", type=str, default="xla",
+                   choices=("xla", "pallas"),
+                   help="phasegram-encoder execution: fused Pallas "
+                        "conv+BN+tanh layers or XLA's ConvStack")
     p.add_argument("--steps_per_dispatch", type=int, default=1,
                    help="optimizer steps per compiled dispatch (K batches "
                         "staged on device, lax.scan over them)")

@@ -22,7 +22,7 @@ from typing import Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from maavss_tpu.models.layers import ConvStack, make_birnn
+from maavss_tpu.models.layers import ConvStack, PallasConvStack1x9, make_birnn
 from maavss_tpu.ops.pallas_kernels import complex_mask_apply
 from maavss_tpu.models.shape_plan import (
     plan_phasegram_decoder,
@@ -50,6 +50,11 @@ class AVFusionModel(nn.Module):
     # multiplicative head necessarily outputs zeros there; use mask_head for
     # separation-focused training (mode 0/2).
     mask_head: bool = False
+    # phasegram-encoder compute path: 'xla' (ConvStack) or 'pallas' (fused
+    # conv+BN+tanh kernels, ops/pallas_pgenc.py — identical param tree, so
+    # checkpoints interchange). Off by default until the on-chip
+    # mosaic_probe/A-B validates the lowering (BASELINE.md).
+    pgenc_kernel: str = "xla"
 
     def setup(self):
         pg_enc, pg_hw = plan_phasegram_encoder(
@@ -60,7 +65,17 @@ class AVFusionModel(nn.Module):
         a_dec, _ = plan_stft_decoder_fusion(a_hw, self.stft_shape, self.latent_channels)
         self.latent_hw = pg_hw
 
-        self.phasegram_encoder = ConvStack(tuple(pg_enc), dtype=self.dtype)
+        if self.pgenc_kernel == "pallas":
+            import os
+
+            self.phasegram_encoder = PallasConvStack1x9(
+                tuple(pg_enc), dtype=self.dtype,
+                tap_mode=os.environ.get("MAAVSS_PGENC_TAPS", "dense"))
+        elif self.pgenc_kernel == "xla":
+            self.phasegram_encoder = ConvStack(tuple(pg_enc), dtype=self.dtype)
+        else:
+            raise ValueError(
+                f"unknown pgenc_kernel {self.pgenc_kernel!r} (xla|pallas)")
         self.phasegram_decoder = ConvStack(tuple(pg_dec), dtype=self.dtype)
         self.stft_encoder = ConvStack(tuple(a_enc), dtype=self.dtype)
         self.stft_decoder = ConvStack(tuple(a_dec), dtype=self.dtype)

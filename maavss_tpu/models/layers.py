@@ -99,6 +99,131 @@ class ConvStack(nn.Module):
         return jnp.moveaxis(x, -1, 1)  # NHWC -> NCHW
 
 
+class _ConvParams(nn.Module):
+    """Parameter holder matching nn.Conv's tree ({kernel, bias}, same shapes,
+    same initializers, same rng fold by path) without running its compute."""
+
+    features: int
+    in_ch: int
+    kernel: Tuple[int, int]
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            self.kernel + (self.in_ch, self.features))
+        b = (self.param("bias", nn.initializers.zeros, (self.features,))
+             if self.use_bias else None)
+        return k, b
+
+
+class _BNParams(nn.Module):
+    """Parameter/stats holder matching nn.BatchNorm's tree."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((self.features,), jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((self.features,), jnp.float32))
+        return scale, bias, mean, var
+
+
+class _BNHolder(nn.Module):
+    """Nests _BNParams under 'BatchNorm_0' so the param path equals
+    TorchBatchNorm's (TorchBatchNorm_i/BatchNorm_0/...)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return _BNParams(self.features, name="BatchNorm_0")()
+
+
+class PallasConvStack1x9(nn.Module):
+    """Drop-in replacement for ConvStack on the planned phasegram-encoder
+    stacks — every layer must be conv(1,9)/stride(1,2)/pad(0,4) + BN + tanh
+    (plan_phasegram_encoder's shape, avse_model.py:427-446) — executing each
+    layer as ONE fused Pallas program (ops/pallas_pgenc.py) instead of
+    XLA's conv/stats/normalize kernel chain.
+
+    The parameter and batch_stats trees are IDENTICAL to ConvStack's (names,
+    shapes, initializers, rng folds), so checkpoints interchange freely and
+    --pgenc_kernel is a pure compute-path switch.
+
+    Dataflow stays channel-first [C, B*T, S] across the whole stack: the
+    public NCHW boundary costs one free reshape on entry (C=1) and one small
+    transpose on exit (the [latent, B*T, s] latent).
+    """
+
+    specs: Tuple[ConvSpec, ...]
+    dtype: jnp.dtype = jnp.float32
+    use_bias: bool = True
+    tap_mode: str = "dense"  # dense | strided (see ops/pallas_pgenc.py)
+
+    def _check(self):
+        for spec in self.specs:
+            ok = (not spec.transpose and spec.kernel == (1, 9)
+                  and spec.stride == (1, 2) and spec.padding == (0, 4)
+                  and spec.norm and spec.act == "tanh")
+            if not ok:
+                raise ValueError(
+                    f"PallasConvStack1x9 supports only the planned "
+                    f"(1,9)/s(1,2)/p(0,4)+BN+tanh layers, got {spec}")
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        from maavss_tpu.ops.pallas_pgenc import (
+            fused_conv_bn_tanh_eval,
+            fused_conv_bn_tanh_train,
+            pgenc_fits,
+        )
+
+        self._check()
+        b, c, t, s = x.shape
+        if c != self.specs[0].in_ch:
+            raise ValueError(f"input has {c} channels, specs expect "
+                             f"{self.specs[0].in_ch}")
+        # NCHW -> channel-first rows [C, B*T, S]
+        h = jnp.transpose(x.astype(self.dtype), (1, 0, 2, 3)).reshape(c, b * t, s)
+        for i, spec in enumerate(self.specs):
+            if not pgenc_fits(spec.in_ch, h.shape[-1]):
+                raise ValueError(
+                    f"layer {i}: lane width {h.shape[-1]} unsupported")
+            kernel, cbias = _ConvParams(
+                spec.out_ch, spec.in_ch, spec.kernel, self.use_bias,
+                name=f"Conv_{i}")()
+            if cbias is None:
+                cbias = jnp.zeros((spec.out_ch,), jnp.float32)
+            scale, bias, ra_mean, ra_var = _BNHolder(
+                spec.out_ch, name=f"TorchBatchNorm_{i}")()
+            # [1,9,Cin,Cout] -> [Cout, 9*Cin] with column k*Cin+ci
+            w2 = kernel[0].reshape(9 * spec.in_ch, spec.out_ch).T
+            w2 = w2.astype(self.dtype)
+            cbias = cbias.astype(jnp.float32)
+            scale = scale.astype(jnp.float32)
+            bias = bias.astype(jnp.float32)
+            if train:
+                h, mu, var = fused_conv_bn_tanh_train(
+                    self.tap_mode, h, w2, cbias, scale, bias)
+                if not self.is_initializing():
+                    # flax BatchNorm running update (momentum 0.9, biased var)
+                    ra_mean.value = 0.9 * ra_mean.value + 0.1 * mu
+                    ra_var.value = 0.9 * ra_var.value + 0.1 * var
+            else:
+                h = fused_conv_bn_tanh_eval(
+                    self.tap_mode, h, w2, cbias, scale, bias,
+                    ra_mean.value, ra_var.value)
+        co = self.specs[-1].out_ch
+        h = h.reshape(co, b, t, h.shape[-1])
+        return jnp.transpose(h, (1, 0, 2, 3))  # -> NCHW
+
+
 class Conv3dDepthTaps(nn.Module):
     """Exact replacement for `nn.Conv` with a (KD, KH, KW) kernel at stride 1
     on NDHWC input, computed as KD shifted 2-D convolutions summed over the

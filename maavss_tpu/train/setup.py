@@ -192,7 +192,7 @@ def build_fusion(cfg: RunConfig, batch_size: int,
         latent_channels=cfg.latent_chan, fc_size=cfg.fc_size,
         dtype=jnp.dtype(cfg.dtype),
         rnn_cell=cfg.rnn_cell, rnn_unroll=cfg.rnn_unroll,
-        mask_head=cfg.mask_head,
+        mask_head=cfg.mask_head, pgenc_kernel=cfg.pgenc_kernel,
     )
     variables = jit_init(model, model.stft_shape, model.pgram_shape,
                          seed=cfg.seed, method=model.init_all)
