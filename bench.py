@@ -18,7 +18,8 @@ Env knobs: MAAVSS_BENCH_BATCH, MAAVSS_BENCH_DTYPE, MAAVSS_BENCH_STEPS,
 MAAVSS_BENCH_WINDOWS (count), MAAVSS_BENCH_WINDOW_MODE (scan|vectorized),
 MAAVSS_BENCH_REGIME (fusion|frames), MAAVSS_BENCH_PGRAM (0|1, default 1:
 ingest-precomputed phasegram rows), MAAVSS_BENCH_MICROBATCH (frames),
-MAAVSS_BENCH_MULTISTEP, MAAVSS_LSTM (auto|scan|pallas).
+MAAVSS_BENCH_MULTISTEP, MAAVSS_LSTM (auto|scan|pallas),
+MAAVSS_BENCH_PGENC (xla|pallas: fused phasegram-encoder layers).
 
 Headline default config (round 3): vectorized windows + --pgram_cache rows +
 auto Pallas LSTM — the tuned production configuration. Every switch is
@@ -57,6 +58,7 @@ def _build_fusion(cfg, batch_size):
         rnn_cell=os.environ.get("MAAVSS_BENCH_RNN", "lstm"),
         rnn_unroll=int(os.environ.get("MAAVSS_BENCH_UNROLL", "1")),
         mask_head=os.environ.get("MAAVSS_BENCH_MASK_HEAD", "0") == "1",
+        pgenc_kernel=os.environ.get("MAAVSS_BENCH_PGENC", "xla"),
     )
     from maavss_tpu.train.setup import jit_init
 
@@ -256,6 +258,7 @@ def main() -> None:
         "microbatch": int(os.environ.get("MAAVSS_BENCH_MICROBATCH", "1")),
         "fused_opt": os.environ.get("MAAVSS_BENCH_FUSED_OPT", "0") == "1",
         "opt_kernel": os.environ.get("MAAVSS_BENCH_OPT_KERNEL", "xla"),
+        "pgenc_kernel": os.environ.get("MAAVSS_BENCH_PGENC", "xla"),
     }))
 
 

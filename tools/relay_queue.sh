@@ -88,3 +88,10 @@ log "queue complete (incl. appended items)"
 run serve_bench_fusion 3600 python tools/serve_bench.py --calls 50 -b 8
 run serve_bench_frames 3600 python tools/serve_bench.py --model frames --calls 20 -b 8
 log "queue complete (incl. serve bench)"
+# appended round-3c continuation: fused phasegram-encoder on-chip gate
+run validate_pgenc 5400 python tools/validate_pallas_pgenc.py
+run bench_pgenc_pallas 3600 env MAAVSS_BENCH_PGENC=pallas \
+  MAAVSS_BENCH_SKIP_BASELINE=1 python bench.py
+run bench_pgenc_strided 3600 env MAAVSS_BENCH_PGENC=pallas \
+  MAAVSS_PGENC_TAPS=strided MAAVSS_BENCH_SKIP_BASELINE=1 python bench.py
+log "queue complete (incl. pgenc gate)"
