@@ -89,15 +89,18 @@ def main() -> None:
 
         variables = jit_init(model, x.shape)
 
-        def loss_fn(params, bstats):
+        def loss_fn(params, bstats, xin):
             y, upd = model.apply({"params": params, "batch_stats": bstats},
-                                 x, train=True, mutable=["batch_stats"])
+                                 xin, train=True, mutable=["batch_stats"])
             return jnp.mean(jnp.square(y.astype(jnp.float32))), upd
 
+        # x MUST be an argument, not a closure capture: jit embeds captured
+        # arrays as HLO constants, and the 268 MB input blows the axon
+        # relay's remote_compile body limit (HTTP 413, seen on chip).
         @jax.jit
-        def fwdbwd(params, bstats):
+        def fwdbwd(params, bstats, xin):
             (l, upd), g = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, bstats)
+                params, bstats, xin)
             gn = sum(jnp.sum(jnp.square(t.astype(jnp.float32)))
                      for t in jax.tree_util.tree_leaves(g))
             # 1e-30 (not 0.0): a *0 would be constant-folded and the whole
@@ -106,13 +109,13 @@ def main() -> None:
 
         p, bs = variables["params"], variables.get("batch_stats", {})
         for _ in range(3):
-            out = fwdbwd(p, bs)
+            out = fwdbwd(p, bs, x)
         float(out)  # fetch-close warmup
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
             for _ in range(args.reps):
-                out = fwdbwd(p, bs)
+                out = fwdbwd(p, bs, x)
             float(out)
             times.append((time.perf_counter() - t0) / args.reps)
         med = statistics.median(times) * 1e3

@@ -95,3 +95,10 @@ run bench_pgenc_pallas 3600 env MAAVSS_BENCH_PGENC=pallas \
 run bench_pgenc_strided 3600 env MAAVSS_BENCH_PGENC=pallas \
   MAAVSS_PGENC_TAPS=strided MAAVSS_BENCH_SKIP_BASELINE=1 python bench.py
 log "queue complete (incl. pgenc gate)"
+# appended: frames_probe HTTP-413 fix (x was a jit closure capture -> 268MB
+# HLO constant blew the relay compile body limit); rerun the two failed items
+run frames_probe_window2 3600 env MAAVSS_POOL=window \
+  python benchmarks/frames_probe.py --batch 128
+run frames_probe_reshape2 3600 env MAAVSS_POOL=reshape \
+  python benchmarks/frames_probe.py --batch 128
+log "queue complete (incl. frames probe reruns)"
