@@ -69,13 +69,24 @@ def adam_leaf_update(
     *, lr: float, b1: float, b2: float, eps: float,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """(g, m, v, p) -> (m', v', p') for one leaf; fused kernel when eligible,
-    bit-identical jnp formula otherwise."""
-    if not pallas_leaf_eligible(p):
-        gd = g.astype(p.dtype)
+    bit-identical jnp formula otherwise.
+
+    Dtype discipline: outputs keep EXACTLY (m.dtype, v.dtype, p.dtype), like
+    optax (bias corrections are cast to the moment dtype, the update to the
+    param dtype). The fusion tree has bf16 LSTM leaves (models/layers.py
+    inits w_i/w_h in the compute dtype); an earlier version let the fp32
+    c1/c2 arrays promote those leaves to fp32 on the first step, after which
+    the now-fp32 param hit the kernel path with a still-bf16 moment and the
+    input_output_aliases dtype check failed on chip (runs/probe_r3c).
+    """
+    if not (pallas_leaf_eligible(p) and m.dtype == v.dtype == jnp.float32):
+        gd = g.astype(m.dtype)
         m2 = b1 * m + (1.0 - b1) * gd
         v2 = b2 * v + (1.0 - b2) * jnp.square(gd)
-        p2 = p - lr * (m2 / c1) / (jnp.sqrt(v2 / c2) + eps)
-        return m2, v2, p2
+        mh = m2 / c1.astype(m2.dtype)
+        vh = v2 / c2.astype(v2.dtype)
+        u = lr * mh / (jnp.sqrt(vh) + eps)
+        return m2, v2, p - u.astype(p.dtype)
 
     shape = p.shape
     rows = p.size // _LANES

@@ -118,6 +118,53 @@ def test_update_path_matches_fused_apply():
                                    rtol=1e-6, atol=1e-7)
 
 
+def test_bf16_leaves_keep_dtype_and_track_optax():
+    """The fusion tree has bf16 LSTM leaves (models/layers.py inits w_i/w_h
+    in the compute dtype). 3 fused_apply steps must keep every leaf's dtype
+    EXACTLY — an earlier version let the fp32 bias-correction arrays promote
+    bf16 params to fp32 on step 1, after which the now-fp32 param hit the
+    kernel path with a still-bf16 moment and the input_output_aliases dtype
+    check failed on chip (runs/probe_r3c/bench_pallas_adam.err) — and track
+    optax.adam, which applies the same moment/param-dtype casts."""
+    rng = np.random.default_rng(4)
+    params = {
+        "lstm": {"w_i": jnp.asarray(
+            rng.standard_normal((512, 128)).astype(np.float32), jnp.bfloat16)},
+        "fc": {"kernel": jnp.asarray(
+            rng.standard_normal((256, 128)).astype(np.float32))},
+    }
+    dtypes_before = jax.tree_util.tree_map(lambda x: x.dtype, params)
+
+    def run(tx, fused):
+        p = params
+        st = tx.init(p)
+        for i in range(3):
+            g = jax.tree_util.tree_map(
+                lambda x, i=i: (0.05 * jnp.cos(x.astype(jnp.float32)
+                                               * (i + 1))).astype(x.dtype), p)
+            if fused:
+                p, st = tx.fused_apply(g, st, p)
+            else:
+                u, st = tx.update(g, st, p)
+                p = optax.apply_updates(p, u)
+        return p, st
+
+    p_pal, st_pal = run(pallas_adam(1e-3), fused=True)
+    p_ref, _ = run(optax.adam(1e-3), fused=False)
+
+    assert jax.tree_util.tree_map(lambda x: x.dtype, p_pal) == dtypes_before
+    assert jax.tree_util.tree_map(lambda x: x.dtype, st_pal.m) == dtypes_before
+    assert jax.tree_util.tree_map(lambda x: x.dtype, st_pal.v) == dtypes_before
+    np.testing.assert_allclose(
+        np.asarray(p_pal["fc"]["kernel"]), np.asarray(p_ref["fc"]["kernel"]),
+        rtol=1e-6, atol=1e-7)
+    # bf16 leaf: same casts as optax, but lr is applied in a different
+    # association order — allow one-ulp-of-bf16 drift
+    np.testing.assert_allclose(
+        np.asarray(p_pal["lstm"]["w_i"], np.float32),
+        np.asarray(p_ref["lstm"]["w_i"], np.float32), rtol=1e-2, atol=1e-4)
+
+
 def test_make_optimizer_pallas_gates():
     from maavss_tpu.config import RunConfig
     from maavss_tpu.train.setup import _opt_kernel
