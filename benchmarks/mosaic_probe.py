@@ -18,6 +18,13 @@ Each sub-kernel is timed fetch-closed against a plain-XLA equivalent on the
 L1 geometry ([8192, 4096] fp32 rows). Prints one JSON line per capability.
 
 Usage: python benchmarks/mosaic_probe.py   (TPU; serialize; idle host)
+
+ANSWERED on chip 2026-08-18 (runs/probe_r3c/mosaic_probe.json): strided lane
+slices do NOT lower (2D or 3D — Mosaic's gather path rejects both), and the
+two-pass SMEM-stats normalize is slower than XLA's fusion (2.03 vs 1.80 ms).
+For pure CAN-IT-LOWER questions this probe is superseded by
+tests/test_mosaic_lowering.py (cross-lowering runs the real Mosaic pipeline
+on the CPU host); keep the probe for the latency half of the answer.
 """
 
 from __future__ import annotations

@@ -99,16 +99,29 @@ def pgenc_fits(c_in: int, s: int) -> bool:
     return s % 2 == 0 and s >= 2
 
 
+def _subsample2(y):
+    """Even-lane subsample [*, r, s] -> [*, r, s//2] WITHOUT a strided slice:
+    Mosaic lowers `y[..., ::2]` through gather, which rejects 3D operands
+    ("Only 2D gather is supported") and mis-shapes 2D ones ("Shape mismatch
+    in input, indices and output") — both measured on chip
+    (runs/probe_r3c/{validate_pgenc,mosaic_probe}) and reproduced by
+    cross-lowering (tests/test_mosaic_lowering.py). The minormost reshape
+    split + static slice lowers cleanly."""
+    c, r, s = y.shape
+    return y.reshape(c, r, s // STRIDE, STRIDE)[:, :, :, 0]
+
+
 def _conv_block(xv, w2v, bias, tap_mode: str, s_out: int):
     """One block's conv: xv [C, r, S] -> fp32 [Co, r, s_out or S].
 
     dense: full-width stride-1 result (caller subsamples); strided: taps are
-    lane-strided slices and the result is already at s_out.
+    even-lane subsamples of shifted windows and the result is already at
+    s_out.
     """
     c, r, s = xv.shape
     xp = jnp.pad(xv, ((0, 0), (0, 0), (PAD, PAD)))
     if tap_mode == "strided":
-        taps = [xp[:, :, k:k + STRIDE * s_out:STRIDE] for k in range(TAPS)]
+        taps = [_subsample2(xp[:, :, k:k + STRIDE * s_out]) for k in range(TAPS)]
         w = s_out
     else:
         taps = [xp[:, :, k:k + s] for k in range(TAPS)]
@@ -133,7 +146,7 @@ def _fwd_kernel(tap_mode, s_out, n_total, nblk,
     bias = aff_ref[:, 0:1][:, :, None]
     yc, _ = _conv_block(x_ref[:], w2_ref[:], bias, tap_mode, s_out)
     if tap_mode == "dense":
-        yc = yc[:, :, ::STRIDE]
+        yc = _subsample2(yc)
 
     @pl.when(p == 0)
     def _acc():
@@ -160,7 +173,7 @@ def _eval_kernel(tap_mode, s_out,
     bias = aff_ref[:, 0:1][:, :, None]
     yc, _ = _conv_block(x_ref[:], w2_ref[:], bias, tap_mode, s_out)
     if tap_mode == "dense":
-        yc = yc[:, :, ::STRIDE]
+        yc = _subsample2(yc)
     mu = stats_ref[:, 0:1][:, :, None]
     inv = jax.lax.rsqrt(stats_ref[:, 1:2][:, :, None] + EPS)
     gamma = aff_ref[:, 1:2][:, :, None]
@@ -187,7 +200,7 @@ def _bwd_kernel(s_out, n_total, nblk,
     c_in, r, s = x_ref.shape
     bias = aff_ref[:, 0:1][:, :, None]
     yf, t2 = _conv_block(x_ref[:], w2_ref[:], bias, "dense", s_out)
-    yc = yf[:, :, ::STRIDE]
+    yc = _subsample2(yf)
     mu = stats_ref[:, 0:1][:, :, None]
     inv = jax.lax.rsqrt(stats_ref[:, 1:2][:, :, None] + EPS)
     gamma = aff_ref[:, 1:2][:, :, None]
@@ -217,10 +230,19 @@ def _bwd_kernel(s_out, n_total, nblk,
             w2_ref[:], u2, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).reshape(TAPS, c_in, r, s)
-        dxp = jnp.zeros((c_in, r, s + 2 * PAD), jnp.float32)
+        # untap: dx[j] = sum_k dtaps[k][j + PAD - k]. Written as 9 static
+        # pad+slice lane shifts — `.at[...].add` is a scatter-add, which
+        # Mosaic does not lower (tests/test_mosaic_lowering.py).
+        dx = jnp.zeros((c_in, r, s), jnp.float32)
         for k in range(TAPS):
-            dxp = dxp.at[:, :, k:k + s].add(dtaps[k])
-        dx_ref[:] = dxp[:, :, PAD:PAD + s].astype(dx_ref.dtype)
+            off = PAD - k
+            t = dtaps[k]
+            if off > 0:
+                t = jnp.pad(t, ((0, 0), (0, 0), (0, off)))[:, :, off:]
+            elif off < 0:
+                t = jnp.pad(t, ((0, 0), (0, 0), (-off, 0)))[:, :, :s]
+            dx = dx + t
+        dx_ref[:] = dx.astype(dx_ref.dtype)
 
     @pl.when((p == 1) & (i == nblk - 1))
     def _write():
