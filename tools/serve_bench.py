@@ -45,6 +45,11 @@ def main() -> None:
     pre.add_argument("--warmup", type=int, default=3)
     pre.add_argument("--artifact", default=None,
                      help="pre-built .jaxexport (default: export in memory)")
+    pre.add_argument("--upload_weights", action="store_true",
+                     help="re-send weights from host numpy on every request "
+                          "(measures the cold/stateless-replica mode; the "
+                          "default keeps them device-resident like a real "
+                          "serving process)")
     own, rest = pre.parse_known_args()
 
     from maavss_tpu.config import model_args
@@ -92,6 +97,14 @@ def main() -> None:
     visual = (rng.random(visual_spec.shape)).astype(visual_spec.dtype)
     variables = np_variables({"params": state.params,
                               "batch_stats": state.batch_stats})
+    if not own.upload_weights:
+        # A serving replica loads weights ONCE; only request data crosses the
+        # wire per call. Passing numpy weights instead re-uploads the full
+        # param tree every request — through the axon relay that alone was
+        # ~5.9 s p50 (runs/probe_r3c/serve_bench_fusion.json, the
+        # --upload_weights mode measured before this fix).
+        variables = jax.device_put(variables)
+        jax.block_until_ready(variables)
 
     def call():
         out = exported.call(variables["params"], variables["batch_stats"],
