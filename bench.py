@@ -19,7 +19,9 @@ MAAVSS_BENCH_WINDOWS (count), MAAVSS_BENCH_WINDOW_MODE (scan|vectorized),
 MAAVSS_BENCH_REGIME (fusion|frames), MAAVSS_BENCH_PGRAM (0|1, default 1:
 ingest-precomputed phasegram rows), MAAVSS_BENCH_MICROBATCH (frames),
 MAAVSS_BENCH_MULTISTEP, MAAVSS_LSTM (auto|scan|pallas),
-MAAVSS_BENCH_PGENC (xla|pallas: fused phasegram-encoder layers).
+MAAVSS_BENCH_PGENC (xla|pallas: fused phasegram-encoder layers),
+MAAVSS_BENCH_FRAMES_ENCODE (window|full: frames visual trunk per sliding
+window vs once over the full sequence).
 
 Headline default config (round 3): vectorized windows + --pgram_cache rows +
 auto Pallas LSTM — the tuned production configuration. Every switch is
@@ -110,7 +112,9 @@ def measure_jax_clips_per_sec(batch_size: int, steps: int = 50, warmup: int = 5,
     pgram = os.environ.get("MAAVSS_BENCH_PGRAM", "1") == "1" and regime == "fusion"
     cfg = RunConfig(batch_size=batch_size, dtype=dtype, pgram_cache=pgram,
                     microbatch=int(os.environ.get("MAAVSS_BENCH_MICROBATCH", "1")),
-                    remat=os.environ.get("MAAVSS_BENCH_REMAT", "0") == "1")
+                    remat=os.environ.get("MAAVSS_BENCH_REMAT", "0") == "1",
+                    frames_encode=os.environ.get("MAAVSS_BENCH_FRAMES_ENCODE",
+                                                 "window"))
     if regime == "frames":
         model, variables, make_step = _build_frames(cfg, batch_size)
         batch = synthetic_av_batch(cfg, batch_size, seed=0,
@@ -259,6 +263,7 @@ def main() -> None:
         "fused_opt": os.environ.get("MAAVSS_BENCH_FUSED_OPT", "0") == "1",
         "opt_kernel": os.environ.get("MAAVSS_BENCH_OPT_KERNEL", "xla"),
         "pgenc_kernel": os.environ.get("MAAVSS_BENCH_PGENC", "xla"),
+        "frames_encode": os.environ.get("MAAVSS_BENCH_FRAMES_ENCODE", "window"),
     }))
 
 

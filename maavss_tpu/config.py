@@ -91,6 +91,13 @@ class RunConfig:
     #   that remat cannot reach (the first conv3d stage's single ~8.6 GB
     #   live intermediate). Per-chunk BatchNorm/phasegram-norm statistics
     #   are the documented deviation.
+    frames_encode: str = "window"  # frames-regime visual trunk: window | full.
+    #   'window' re-encodes each of the num_seq overlapping nf-frame windows
+    #   (reference semantics, train_avse_frames.py:150-181); 'full' encodes
+    #   the whole T_total-frame sequence ONCE and slices latent windows —
+    #   nf*num_seq -> nf+num_seq-1 frame-convs (~2.9x FLOP cut at the
+    #   defaults). Deviations documented at train/steps.py:make_full_loss;
+    #   identical when num_seq == 1.
     pgram_cache: bool = False  # fusion regimes read ingest-time phasegram
     #   cumsum rows (save_phasegrams.py -> <data_path>/pgrams-p<p_size>/)
     #   instead of computing fft2/angle/cumsum per step; rows ship float16
@@ -251,6 +258,12 @@ def build_parser(parser: Optional[argparse.ArgumentParser] = None) -> argparse.A
                    help="sequential batch chunks per optimizer step (grad "
                         "accumulation; lifts the HBM batch ceiling — frames "
                         "and fusion regimes)")
+    p.add_argument("--frames_encode", type=str, default="window",
+                   choices=("window", "full"),
+                   help="frames-regime visual trunk: re-encode each sliding "
+                        "window (reference semantics) or encode the full "
+                        "frame sequence once and slice latent windows "
+                        "(~2.9x fewer conv3d FLOPs; see config.py notes)")
     p.add_argument("--pgram_cache", action="store_true",
                    help="use precomputed phasegram rows from "
                         "save_phasegrams.py (fusion regimes)")

@@ -171,17 +171,15 @@ class AVFusionFramesModel(nn.Module):
     def audio_ae_forward(self, x_a: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         return self.stft_decoder(self.stft_encoder(x_a, train), train)
 
-    def __call__(
-        self, x_a: jnp.ndarray, x_v: jnp.ndarray, train: bool = False
+    def forward_with_visual_latent(
+        self, x_a: jnp.ndarray, x_v_enc: jnp.ndarray, train: bool = False
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """(stft [B,2,T,F], frames [B,1,Tf,H,W]) ->
-        (ŷ_stft [B,2,hops_per_frame,F], ŷ_frame [B,1,H,W], fused [B,512]).
-
-        Middle-frame objective heads: tanh on audio, sigmoid on the single
-        reconstructed attention frame (avse_model_final.py:258-273).
-        """
+        """Heads path given a precomputed visual latent [B,C,T,S] — the
+        entry the `--frames_encode full` step uses after encoding the whole
+        frame sequence once and slicing latent windows (train/steps.py); the
+        windowed `__call__` routes through it too so there is one head
+        implementation."""
         x_a_enc = self.stft_encoder(x_a, train)
-        x_v_enc = self.visual_encoder(x_v, train)
         fused = self.av_fusion_forward(x_a_enc, x_v_enc)
         a_shape = (x_a.shape[0], 2, self.hops_per_frame, self.stft_shape[-1])
         if self.mask_head:
@@ -196,6 +194,22 @@ class AVFusionFramesModel(nn.Module):
             x_a_out = jnp.tanh(self.a_fc1(fused)).reshape(a_shape)
         x_v_out = nn.sigmoid(self.v_fc1(fused))
         x_v_out = x_v_out.reshape(
-            x_v.shape[0], self.frame_shape[1], self.frame_shape[-2], self.frame_shape[-1]
+            x_a.shape[0], self.frame_shape[1], self.frame_shape[-2], self.frame_shape[-1]
         )
         return x_a_out, x_v_out, fused
+
+    def encode_frames(self, x_v: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """Visual trunk only: [B,1,T,H,W] -> latent [B,C,T,S]."""
+        return self.visual_encoder(x_v, train)
+
+    def __call__(
+        self, x_a: jnp.ndarray, x_v: jnp.ndarray, train: bool = False
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """(stft [B,2,T,F], frames [B,1,Tf,H,W]) ->
+        (ŷ_stft [B,2,hops_per_frame,F], ŷ_frame [B,1,H,W], fused [B,512]).
+
+        Middle-frame objective heads: tanh on audio, sigmoid on the single
+        reconstructed attention frame (avse_model_final.py:258-273).
+        """
+        x_v_enc = self.visual_encoder(x_v, train)
+        return self.forward_with_visual_latent(x_a, x_v_enc, train)

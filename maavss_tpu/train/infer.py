@@ -37,27 +37,46 @@ def make_frames_separator(model, cfg: RunConfig):
     """
     a, nf, ns = cfg.hops_per_frame, cfg.num_frames, cfg.num_seq
     idx_middle = (ns - 1) // 2
+    encode = getattr(cfg, "frames_encode", "window")
 
     @jax.jit
     def separate(state: TrainState, batch, rng: jax.Array) -> Dict[str, jnp.ndarray]:
         # identical feature prep to make_frames_step (polar / per-example
         # max-norm flags included) — a model trained with --use_polar or
-        # --normalize_output_fft must be evaluated on matching features
+        # --normalize_output_fft must be evaluated on matching features,
+        # and one trained with --frames_encode full must see full-sequence
+        # temporal context here too (same windowing deviation as training)
         x_full, y_full = _prep_stft_pair(
             batch["audio"], cfg, rng, trim_end=False,
             max_norm=cfg.normalize_output_fft)
         frames = _vis_frames(batch, cfg)[:, :, None]  # [B,T,1,H,W]
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
 
-        def body(yh_full, j):
-            fr = jax.lax.dynamic_slice_in_dim(frames, j, nf, axis=1)
-            x_v = jnp.transpose(fr, (0, 2, 1, 3, 4))  # [B,1,nf,H,W]
-            xs = jax.lax.dynamic_slice_in_dim(x_full, j * a, nf * a, axis=2)
-            yh_mid, _, _ = model.apply(
-                {"params": state.params, "batch_stats": state.batch_stats},
-                xs, x_v, train=False)  # [B,2,a,F]
-            yh_full = jax.lax.dynamic_update_slice_in_dim(
-                yh_full, yh_mid.astype(yh_full.dtype), (j + idx_middle) * a, axis=2)
-            return yh_full, None
+        if encode == "full":
+            v_lat = model.apply(
+                variables, jnp.transpose(frames, (0, 2, 1, 3, 4)),
+                train=False, method=model.encode_frames)  # [B,C,T,S]
+
+            def body(yh_full, j):
+                lat = jax.lax.dynamic_slice_in_dim(v_lat, j, nf, axis=2)
+                xs = jax.lax.dynamic_slice_in_dim(x_full, j * a, nf * a, axis=2)
+                yh_mid, _, _ = model.apply(
+                    variables, xs, lat, train=False,
+                    method=model.forward_with_visual_latent)  # [B,2,a,F]
+                return jax.lax.dynamic_update_slice_in_dim(
+                    yh_full, yh_mid.astype(yh_full.dtype),
+                    (j + idx_middle) * a, axis=2), None
+        else:
+            def body(yh_full, j):
+                fr = jax.lax.dynamic_slice_in_dim(frames, j, nf, axis=1)
+                x_v = jnp.transpose(fr, (0, 2, 1, 3, 4))  # [B,1,nf,H,W]
+                xs = jax.lax.dynamic_slice_in_dim(x_full, j * a, nf * a, axis=2)
+                yh_mid, _, _ = model.apply(
+                    variables, xs, x_v, train=False)  # [B,2,a,F]
+                yh_full = jax.lax.dynamic_update_slice_in_dim(
+                    yh_full, yh_mid.astype(yh_full.dtype),
+                    (j + idx_middle) * a, axis=2)
+                return yh_full, None
 
         yh_full, _ = jax.lax.scan(body, x_full, jnp.arange(ns))
 

@@ -504,6 +504,9 @@ def make_frames_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
     idx_middle = (ns - 1) // 2  # train_avse_frames.py:105
     apply_train = _train_apply(model, cfg.remat)
     mb = max(1, int(cfg.microbatch))
+    encode = getattr(cfg, "frames_encode", "window")
+    if encode not in ("window", "full"):
+        raise ValueError(f"unknown frames_encode {encode!r} (window|full)")
 
     def make_window_loss(frames, x_full, y_full, masks):
         a_in_mask, v_in_mask, ya_mask, yv_mask = masks
@@ -526,6 +529,69 @@ def make_frames_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
 
         return window_loss
 
+    def make_full_loss(masks):
+        """--frames_encode full: run the conv3d trunk ONCE over the whole
+        T_total-frame sequence and slice `ns` latent windows, instead of
+        re-encoding `ns` overlapping nf-frame windows (nf*ns = 32 frame-convs
+        -> nf+ns-1 = 11 at the defaults, a ~2.9x FLOP cut on the regime's
+        dominant stage — BASELINE.md frames stage bisection). Documented
+        deviations vs the reference's windowed apply
+        (train_avse_frames.py:150-181): (a) interior windows see real
+        neighbor frames through the temporal conv padding instead of each
+        window's own zero pad; (b) BatchNorm batch statistics are one
+        full-sequence update (+ one folded heads update) per step rather
+        than ns sequential window updates. Identical to window mode when
+        ns == 1 (tests/test_frames_fullseq.py)."""
+        a_in_mask, v_in_mask, ya_mask, yv_mask = masks
+
+        def enc_fwd(params, bstats, x_v_all):
+            return model.apply({"params": params, "batch_stats": bstats},
+                               x_v_all, train=True, mutable=["batch_stats"],
+                               method=model.encode_frames)
+
+        def heads_fwd(params, bstats, xs_b, lat_b):
+            return model.apply({"params": params, "batch_stats": bstats},
+                               xs_b, lat_b, train=True,
+                               mutable=["batch_stats"],
+                               method=model.forward_with_visual_latent)
+
+        if cfg.remat:
+            enc_fwd = jax.checkpoint(enc_fwd)
+            heads_fwd = jax.checkpoint(heads_fwd)
+
+        def fold(wins):  # [B, ns, ...] -> [B*ns, ...]
+            return wins.reshape((-1,) + wins.shape[2:])
+
+        def full_loss(params, bstats, frames, x_full, y_full):
+            # encode exactly the frames the ns windows cover (nf+ns-1) — any
+            # tail beyond that would leak temporal context into the last
+            # window's conv padding and shift the BN batch statistics
+            fr_used = jax.lax.slice_in_dim(frames, 0, nf + ns - 1, axis=1)
+            x_v_all = jnp.transpose(fr_used, (0, 2, 1, 3, 4))  # [B,1,T,H,W]
+            v_lat, mut = enc_fwd(params, bstats, x_v_all * v_in_mask)
+            bstats = mut["batch_stats"]
+            lat_b = fold(jnp.stack(
+                [jax.lax.slice_in_dim(v_lat, j, j + nf, axis=2)
+                 for j in range(ns)], axis=1))
+            xs_b = fold(jnp.stack(
+                [jax.lax.slice_in_dim(x_full, j * a, j * a + nf * a, axis=2)
+                 for j in range(ns)], axis=1))
+            ys_b = fold(jnp.stack(
+                [jax.lax.slice_in_dim(y_full, (j + idx_middle) * a,
+                                      (j + idx_middle) * a + a, axis=2)
+                 for j in range(ns)], axis=1))
+            yv_b = fold(jnp.stack(
+                [frames[:, j + idx_middle] for j in range(ns)], axis=1))
+            (yh_a, yh_v, _), mut2 = heads_fwd(params, bstats,
+                                              xs_b * a_in_mask, lat_b)
+            a_loss = mse(yh_a, ys_b * ya_mask)
+            v_loss = mse(yh_v, yv_b * yv_mask)
+            loss = a_loss + coeff * v_loss
+            return loss, (mut2["batch_stats"],
+                          {"loss": loss, "a_loss": a_loss, "v_loss": v_loss})
+
+        return full_loss
+
     def step(state: TrainState, batch, rng: jax.Array, mode: jnp.ndarray):
         mode = jnp.asarray(mode)
         x_full, y_full = _prep_stft_pair(
@@ -536,6 +602,23 @@ def make_frames_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
                  jnp.where(mode == 0, 0.0, 1.0),
                  jnp.where((mode == 1) & bool(obj_zeros), 0.0, 1.0),
                  jnp.where((mode == 0) & bool(obj_zeros), 0.0, 1.0))
+
+        if encode == "full":
+            full_loss = make_full_loss(masks)
+
+            def full_grads(params, bstats, fr, xf, yf):
+                (_, (new_bstats, m)), grads = jax.value_and_grad(
+                    full_loss, has_aux=True)(params, bstats, fr, xf, yf)
+                return grads, new_bstats, m
+
+            if mb == 1:
+                grads, bstats, metrics = full_grads(
+                    state.params, state.batch_stats, frames, x_full, y_full)
+                metrics = {**metrics, **_watch_metrics(grads, state.params)}
+                return (state.apply_gradients(grads=grads, batch_stats=bstats),
+                        metrics)
+            return _microbatch_accumulate(state, mb, (frames, x_full, y_full),
+                                          full_grads)
 
         if mb == 1:
             return _accumulate(make_window_loss(frames, x_full, y_full, masks),
