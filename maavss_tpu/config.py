@@ -119,8 +119,10 @@ class RunConfig:
     pgenc_kernel: str = "xla"  # phasegram-encoder execution: xla | pallas.
     #   'pallas' fuses each conv(1,9)/s2 + BN + tanh layer into one Pallas
     #   program (ops/pallas_pgenc.py; identical param tree, checkpoints
-    #   interchange). Experimental until the on-chip mosaic probe + A/B
-    #   validate the Mosaic lowering (BASELINE.md round 3c).
+    #   interchange). Measured DEAD END on TPU (BASELINE.md round 3d): the
+    #   Mosaic compiler rejects every in-kernel stride-2 subsample
+    #   formulation, so 'pallas' raises on TPU and remains available
+    #   off-TPU for the interpret-mode parity tests.
     steps_per_dispatch: int = 1  # K > 1 stages K batches on device and runs
     #   K full optimizer steps inside ONE compiled program (lax.scan over the
     #   stacked batches) — dispatch amortization for host/relay-bound

@@ -52,8 +52,14 @@ class AVFusionModel(nn.Module):
     mask_head: bool = False
     # phasegram-encoder compute path: 'xla' (ConvStack) or 'pallas' (fused
     # conv+BN+tanh kernels, ops/pallas_pgenc.py — identical param tree, so
-    # checkpoints interchange). Off by default until the on-chip
-    # mosaic_probe/A-B validates the lowering (BASELINE.md).
+    # checkpoints interchange). MEASURED DEAD END ON TPU (round 3d): the
+    # Mosaic compiler rejects every in-kernel stride-2 subsample formulation
+    # (strided slices 2D/3D, minormost reshape-split at any width, sublane
+    # stride — runs/probe_r3d/mosaic_probe2.json), and the one design that
+    # compiles (XLA-side per-layer deinterleave feeding static-shift taps)
+    # pays the saved HBM passes back in the deinterleave. 'pallas' therefore
+    # raises on TPU (documented gate, not a crash deep in Mosaic) and stays
+    # available off-TPU where interpret mode serves the parity tests.
     pgenc_kernel: str = "xla"
 
     def setup(self):
@@ -68,6 +74,16 @@ class AVFusionModel(nn.Module):
         if self.pgenc_kernel == "pallas":
             import os
 
+            import jax
+
+            if jax.default_backend() == "tpu":
+                raise ValueError(
+                    "--pgenc_kernel pallas does not compile on current "
+                    "Mosaic: the backend rejects every stride-2 subsample "
+                    "formulation (unsupported shape cast / gather; "
+                    "BASELINE.md round 3d, runs/probe_r3d/mosaic_probe2). "
+                    "Use the default XLA path on TPU — the step already "
+                    "runs at the HBM roofline there.")
             self.phasegram_encoder = PallasConvStack1x9(
                 tuple(pg_enc), dtype=self.dtype,
                 tap_mode=os.environ.get("MAAVSS_PGENC_TAPS", "dense"))

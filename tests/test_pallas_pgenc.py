@@ -162,6 +162,22 @@ def test_full_planned_stack_smoke():
     assert y.shape == (1, 64, t, s)
 
 
+def test_pgenc_pallas_raises_on_tpu(monkeypatch):
+    """On TPU the flag is a documented gate, not a crash deep in Mosaic:
+    the compiler rejects every stride-2 subsample formulation
+    (runs/probe_r3d/mosaic_probe2.json; BASELINE.md round 3d)."""
+    import jax as jax_mod
+
+    from maavss_tpu.models.fusion import AVFusionModel
+
+    monkeypatch.setattr(jax_mod, "default_backend", lambda: "tpu")
+    m = AVFusionModel(stft_shape=(2, 2, 32, 16), pgram_shape=(2, 1, 4, 64),
+                      latent_channels=8, fc_size=256, pgenc_kernel="pallas")
+    with pytest.raises(ValueError, match="Mosaic"):
+        m.init(jax.random.PRNGKey(0), jnp.zeros((2, 2, 32, 16)),
+               jnp.zeros((2, 1, 4, 64)), method=m.init_all)
+
+
 def test_fusion_model_pgenc_pallas_matches_xla():
     """--pgenc_kernel pallas is a pure compute-path switch on AVFusionModel:
     same variables, matching forward."""
