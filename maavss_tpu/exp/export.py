@@ -81,14 +81,36 @@ def serving_input_specs(cfg: RunConfig, batch: int, frames_model: bool = False,
     s_total = cfg.hop * cfg.hops_per_frame * t_total
     audio = jax.ShapeDtypeStruct((batch, s_total), dtype)
     if frames_model:
+        # uint8 wire format, converted on device (frames_f32) — same as the
+        # training input path. The fp32 spec cost 4x the request bytes and
+        # dominated serving latency through the relay (a [8,11,256,256]
+        # frames tensor is ~23 MB fp32; BASELINE.md round 3d serving table).
         visual = jax.ShapeDtypeStruct(
-            (batch, t_total, cfg.framesize, cfg.framesize), dtype)
+            (batch, t_total, cfg.framesize, cfg.framesize), jnp.uint8)
     elif cfg.pgram_cache:
         visual = jax.ShapeDtypeStruct((batch, t_total, cfg.p_size**2),
                                       jnp.float16)
     else:
         visual = jax.ShapeDtypeStruct((batch, t_total, cfg.p_size, cfg.p_size),
                                       dtype)
+    return audio, visual
+
+
+def random_serving_inputs(cfg: RunConfig, batch: int,
+                          frames_model: bool = False, seed: int = 0):
+    """(audio, visual) numpy request payloads at the serving specs, scaled
+    correctly per dtype (uint8 frames get [0,255], floats get small
+    gaussians) — shared by serve_bench / export selftest / tests so a spec
+    dtype change cannot silently produce all-zero visuals."""
+    import numpy as np
+
+    a_spec, v_spec = serving_input_specs(cfg, batch, frames_model=frames_model)
+    rng = np.random.default_rng(seed)
+    audio = (rng.standard_normal(a_spec.shape) * 0.1).astype(a_spec.dtype)
+    if np.issubdtype(v_spec.dtype, np.integer):
+        visual = rng.integers(0, 256, v_spec.shape).astype(v_spec.dtype)
+    else:
+        visual = (rng.standard_normal(v_spec.shape) * 0.1).astype(v_spec.dtype)
     return audio, visual
 
 

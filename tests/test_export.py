@@ -16,7 +16,6 @@ from maavss_tpu.exp.export import (
     load_artifact,
     make_serving_fn,
     save_artifact,
-    serving_input_specs,
 )
 from maavss_tpu.models.fusion import AVFusionModel
 
@@ -49,11 +48,9 @@ def exported_tiny(tmp_path_factory):
 
 
 def _serving_inputs(cfg, seed=0):
-    a_spec, v_spec = serving_input_specs(cfg, cfg.batch_size)
-    rng = np.random.default_rng(seed)
-    audio = rng.standard_normal(a_spec.shape).astype(a_spec.dtype)
-    visual = (rng.standard_normal(v_spec.shape) * 0.1).astype(v_spec.dtype)
-    return audio, visual
+    from maavss_tpu.exp.export import random_serving_inputs
+
+    return random_serving_inputs(cfg, cfg.batch_size, seed=seed)
 
 
 def test_export_roundtrip_matches_live(exported_tiny):
@@ -87,3 +84,23 @@ def test_geometry_mismatch_raises(exported_tiny):
     _, _, path = exported_tiny
     with pytest.raises(ValueError, match="geometry mismatch"):
         load_artifact(path, CFG.replace(fft_len=128))
+
+
+def test_frames_serving_uint8_wire():
+    """The frames serving spec ships uint8 frames (4x less request bytes;
+    BASELINE.md round 3d serving table) and the serving fn converts on
+    device (frames_f32) — the payload helper must produce a [0,255] uint8
+    visual, and the pipeline must accept it end to end."""
+    from maavss_tpu.exp.export import random_serving_inputs
+    from maavss_tpu.train.setup import build_frames_model
+
+    cfg = CFG.replace(num_frames=2, num_seq=2, framesize=24)
+    model, state = build_frames_model(cfg, cfg.batch_size, cfg.framesize)
+    audio, visual = random_serving_inputs(cfg, cfg.batch_size,
+                                          frames_model=True)
+    assert visual.dtype == np.uint8
+    assert int(visual.max()) > 200  # correctly scaled, not all-zero
+    fn = make_serving_fn(model, cfg, frames_model=True)
+    out = np.asarray(fn(state.params, state.batch_stats, audio, visual))
+    assert out.shape == audio.shape
+    assert np.all(np.isfinite(out))

@@ -47,7 +47,7 @@ def main() -> None:
     from maavss_tpu.exp.checkpoint import load_checkpoint
     from maavss_tpu.exp.export import (
         export_separator, load_artifact, make_serving_fn, save_artifact,
-        serving_input_specs,
+        random_serving_inputs,
     )
     from maavss_tpu.train.setup import (
         build_frames_model, build_fusion, init_runtime,
@@ -78,11 +78,8 @@ def main() -> None:
         import jax
 
         exported, meta = load_artifact(path, cfg)
-        a_spec, v_spec = serving_input_specs(cfg, cfg.batch_size,
-                                             frames_model=frames_model)
-        rng = np.random.default_rng(0)
-        audio = rng.standard_normal(a_spec.shape).astype(a_spec.dtype)
-        visual = (rng.standard_normal(v_spec.shape) * 0.1).astype(v_spec.dtype)
+        audio, visual = random_serving_inputs(cfg, cfg.batch_size,
+                                              frames_model=frames_model)
         got = np.asarray(exported.call(state.params, state.batch_stats,
                                        audio, visual))
         want = np.asarray(make_serving_fn(model, cfg, frames_model)(

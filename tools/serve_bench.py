@@ -55,7 +55,7 @@ def main() -> None:
     from maavss_tpu.config import model_args
     from maavss_tpu.exp.checkpoint import load_checkpoint
     from maavss_tpu.exp.export import (
-        export_separator, load_artifact, np_variables, serving_input_specs,
+        export_separator, load_artifact, np_variables, random_serving_inputs,
     )
     from maavss_tpu.train.setup import (
         build_frames_model, build_fusion, init_runtime,
@@ -90,11 +90,8 @@ def main() -> None:
               f"({len(data) / 1e6:.1f} MB, platform {platform})",
               file=sys.stderr, flush=True)
 
-    audio_spec, visual_spec = serving_input_specs(
-        cfg, cfg.batch_size, frames_model=frames_model)
-    rng = np.random.default_rng(0)
-    audio = rng.standard_normal(audio_spec.shape).astype(audio_spec.dtype) * 0.1
-    visual = (rng.random(visual_spec.shape)).astype(visual_spec.dtype)
+    audio, visual = random_serving_inputs(cfg, cfg.batch_size,
+                                          frames_model=frames_model)
     variables = np_variables({"params": state.params,
                               "batch_stats": state.batch_stats})
     if not own.upload_weights:
