@@ -54,7 +54,11 @@ def main() -> None:
 
     init_runtime()
     pgram = os.environ.get("MAAVSS_BENCH_PGRAM", "1") == "1" and args.regime == "fusion"
-    cfg = RunConfig(batch_size=args.batch, dtype=args.dtype, pgram_cache=pgram)
+    cfg = RunConfig(batch_size=args.batch, dtype=args.dtype, pgram_cache=pgram,
+                    microbatch=int(os.environ.get("MAAVSS_BENCH_MICROBATCH",
+                                                  "1")),
+                    frames_encode=os.environ.get(
+                        "MAAVSS_BENCH_FRAMES_ENCODE", "window"))
     if args.regime == "frames":
         model, variables, make_step = bench._build_frames(cfg, args.batch)
         batch = synthetic_av_batch(cfg, args.batch, seed=0,

@@ -60,3 +60,13 @@ run q10k_full 7200 python tools/quality_curve.py --regime frames \
   -b 32 -lr 1e-3 --data_path synthetic:8 --mask_head --frames_encode full \
   --seed 0
 log "queue complete"
+
+# appended: relay-safe rooflines for the frames step, window vs full, at the
+# measured geometries (compile-only)
+run roofline_frames_window 3600 env MAAVSS_BENCH_MICROBATCH=2 \
+  python tools/cost_report.py --regime frames --batch 256 --json \
+  --measured_ms 1636
+run roofline_frames_full 3600 env MAAVSS_BENCH_MICROBATCH=2 \
+  MAAVSS_BENCH_FRAMES_ENCODE=full python tools/cost_report.py \
+  --regime frames --batch 256 --json --measured_ms 602.6
+log "queue complete (incl. rooflines)"
