@@ -56,9 +56,33 @@ def main() -> None:
 
         @nn.compact
         def __call__(self, x, train: bool = True):
-            from maavss_tpu.models.layers import Conv3dDepthTaps
+            from maavss_tpu.models.layers import (
+                Conv3dDepthTaps,
+                _ConvParams,
+                batchnorm_view_to_phase_channels,
+                fold_conv3d_kernel_2x2,
+                phase_channels_to_batchnorm_view,
+                phase_max_2x2,
+                space_to_depth_2x2,
+            )
 
             for i, (out_ch, pad, pool) in enumerate(STAGES[: self.n]):
+                if (conv_impl == "s2d" and pool == 2 and pad == (2, 2)
+                        and x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0):
+                    kernel, _ = _ConvParams(out_ch, x.shape[-1], (3, 5, 5),
+                                            False, name=f"Conv_{i}")()
+                    xf = space_to_depth_2x2(x.astype(dtype))
+                    kf = fold_conv3d_kernel_2x2(kernel.astype(dtype))
+                    y = jax.lax.conv_general_dilated(
+                        xf, kf, window_strides=(1, 1, 1),
+                        padding=((1, 1), (1, 1), (1, 1)),
+                        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+                    if os.environ.get("MAAVSS_PROBE_BN", "1") == "1":
+                        y = phase_channels_to_batchnorm_view(y)
+                        y = TorchBatchNorm(dtype=dtype)(y, train)
+                        y = batchnorm_view_to_phase_channels(y)
+                    x = nn.leaky_relu(phase_max_2x2(y), negative_slope=0.01)
+                    continue
                 if conv_impl == "taps":
                     x = Conv3dDepthTaps(out_ch, kernel_size=(3, 5, 5),
                                         padding=((1, 1), pad, pad),

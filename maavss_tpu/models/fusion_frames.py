@@ -66,7 +66,7 @@ class FramesVisualEncoder(nn.Module):
         pool_impl = self.pool_impl
         if pool_impl == "auto":
             pool_impl = os.environ.get("MAAVSS_POOL", "window")
-        if conv_impl not in ("direct", "taps"):
+        if conv_impl not in ("direct", "taps", "s2d"):
             raise ValueError(f"unknown conv3d impl {conv_impl}")
         if pool_impl not in ("window", "reshape"):
             raise ValueError(f"unknown pool impl {pool_impl}")
@@ -81,6 +81,38 @@ class FramesVisualEncoder(nn.Module):
             (self.latent_channels, (3, 3), 3),
         ]
         for i, (out_ch, pad, pool) in enumerate(stages):
+            if (conv_impl == "s2d" and pool == 2 and pad == (2, 2)
+                    and x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0):
+                # EXACT space-to-depth reformulation (layers.py helpers):
+                # 2x2 spatial phases fold into channels, the (·,5,5)/p2 conv
+                # becomes (·,3,3)/p1 over 4x the channels (feeds the MXU a
+                # 4x-deeper contraction with 4x the output rows — the first
+                # stages are channel-starved at ~11% MXU, BASELINE round 3f),
+                # and the stage's (2,2)/s2 max pool is a free max over the 4
+                # output phases. Same param tree as nn.Conv (checkpoints
+                # interchange); parity tested in tests/test_frames_s2d.py.
+                from maavss_tpu.models.layers import (
+                    _ConvParams,
+                    batchnorm_view_to_phase_channels,
+                    fold_conv3d_kernel_2x2,
+                    phase_channels_to_batchnorm_view,
+                    phase_max_2x2,
+                    space_to_depth_2x2,
+                )
+
+                kernel, _ = _ConvParams(out_ch, x.shape[-1], (3, 5, 5),
+                                        False, name=f"Conv_{i}")()
+                xf = space_to_depth_2x2(x.astype(self.dtype))
+                kf = fold_conv3d_kernel_2x2(kernel.astype(self.dtype))
+                y = jax.lax.conv_general_dilated(
+                    xf, kf, window_strides=(1, 1, 1),
+                    padding=((1, 1), (1, 1), (1, 1)),
+                    dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+                y = phase_channels_to_batchnorm_view(y)
+                y = TorchBatchNorm(dtype=self.dtype)(y, train)
+                y = batchnorm_view_to_phase_channels(y)
+                x = nn.leaky_relu(phase_max_2x2(y), negative_slope=0.01)
+                continue
             if conv_impl == "taps":
                 x = Conv3dDepthTaps(
                     out_ch, kernel_size=(3, 5, 5),

@@ -278,6 +278,70 @@ class Conv3dDepthTaps(nn.Module):
         return y
 
 
+def space_to_depth_2x2(x: jnp.ndarray) -> jnp.ndarray:
+    """NDHWC [B,T,H,W,C] -> [B,T,H/2,W/2,4C], channel index ph*C + c with
+    phase ph = 2*py + px (py/px = the pixel's parity within its 2x2 block)."""
+    b, d, h, w, c = x.shape
+    x = x.reshape(b, d, h // 2, 2, w // 2, 2, c)
+    x = jnp.transpose(x, (0, 1, 2, 4, 3, 5, 6))
+    return x.reshape(b, d, h // 2, w // 2, 4 * c)
+
+
+def fold_conv3d_kernel_2x2(kernel: jnp.ndarray) -> jnp.ndarray:
+    """EXACT reformulation of a stride-1 (KD,5,5) conv (pad (·,2,2)) as a
+    (KD,3,3) conv (pad (·,1,1)) over 2x2 space-to-depth phase channels:
+    [KD,5,5,C,Co] -> [KD,3,3,4C,4Co].
+
+    Why: the frames trunk's first stages are channel-starved for the MXU
+    (C_in=1 gives a 75-deep contraction with 16 active output rows on a
+    128x128 systolic array — the measured ~11% MXU, BASELINE.md round 3f).
+    Folding quadruples both contraction depth and output rows without
+    changing the math: output phase q at folded position m reads original
+    positions u = q + k - 2 (k the original tap), i.e. folded tap
+    d = floor(u/2) in {-1,0,1} of input phase r = u mod 2. Channel layout
+    matches space_to_depth_2x2 (ph*C + c in, qph*Co + co out)."""
+    kd, kh, kw, c, co = kernel.shape
+    assert (kh, kw) == (5, 5), (kh, kw)
+    out = jnp.zeros((kd, 3, 3, 4 * c, 4 * co), kernel.dtype)
+    for qy in range(2):
+        for ky in range(5):
+            uy = qy + ky - 2
+            dy, ry = uy // 2, uy % 2
+            for qx in range(2):
+                for kx in range(5):
+                    ux = qx + kx - 2
+                    dx, rx = ux // 2, ux % 2
+                    ph_in = 2 * ry + rx
+                    ph_out = 2 * qy + qx
+                    out = out.at[:, 1 + dy, 1 + dx,
+                                 ph_in * c:(ph_in + 1) * c,
+                                 ph_out * co:(ph_out + 1) * co].set(
+                        kernel[:, ky, kx])
+    return out
+
+
+def phase_max_2x2(y: jnp.ndarray) -> jnp.ndarray:
+    """[B,T,H',W',4Co] (phase-major channels) -> [B,T,H',W',Co]: max over
+    the 4 phase channels per original channel — EXACTLY a (2,2)/s2 spatial
+    max pool of the unfolded tensor (the pool blocks are the fold blocks)."""
+    b, d, h, w, c4 = y.shape
+    return jnp.max(y.reshape(b, d, h, w, 4, c4 // 4), axis=4)
+
+
+def phase_channels_to_batchnorm_view(y: jnp.ndarray) -> jnp.ndarray:
+    """[B,T,H',W',4Co] -> [B,T,H',4W',Co]: moves the phase factor into a
+    spatial axis so a per-Co BatchNorm sees the identical value multiset as
+    on the unfolded tensor (BN only needs the per-channel reduction; spatial
+    adjacency is irrelevant to it)."""
+    b, d, h, w, c4 = y.shape
+    return y.reshape(b, d, h, w * 4, c4 // 4)
+
+
+def batchnorm_view_to_phase_channels(y: jnp.ndarray) -> jnp.ndarray:
+    b, d, h, w4, c = y.shape
+    return y.reshape(b, d, h, w4 // 4, 4 * c)
+
+
 def max_pool_reshape(x: jnp.ndarray, p: int) -> jnp.ndarray:
     """Non-overlapping (1, p, p) max pool on NDHWC via crop+reshape+max —
     identical values to `nn.max_pool(window=(1,p,p), strides=(1,p,p))`
