@@ -67,8 +67,11 @@ def main() -> None:
             )
 
             for i, (out_ch, pad, pool) in enumerate(STAGES[: self.n]):
+                s2d_min_hw = int(os.environ.get("MAAVSS_S2D_MIN_HW",
+                                                 "128"))
                 if (conv_impl == "s2d" and pool == 2 and pad == (2, 2)
-                        and x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0):
+                        and x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0
+                        and min(x.shape[2], x.shape[3]) >= s2d_min_hw):
                     kernel, _ = _ConvParams(out_ch, x.shape[-1], (3, 5, 5),
                                             False, name=f"Conv_{i}")()
                     xf = space_to_depth_2x2(x.astype(dtype))

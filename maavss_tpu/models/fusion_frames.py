@@ -80,9 +80,14 @@ class FramesVisualEncoder(nn.Module):
             (64, (2, 2), 3),
             (self.latent_channels, (3, 3), 3),
         ]
+        # s2d pays only while the spatial extent is large (channel-starved
+        # stages); at 64x64 the folded stage measured 33% SLOWER on chip
+        # (runs/probe_r3g stage bisection: s1 -26%, s2 -6%, s3 +33%)
+        s2d_min_hw = int(os.environ.get("MAAVSS_S2D_MIN_HW", "128"))
         for i, (out_ch, pad, pool) in enumerate(stages):
             if (conv_impl == "s2d" and pool == 2 and pad == (2, 2)
-                    and x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0):
+                    and x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0
+                    and min(x.shape[2], x.shape[3]) >= s2d_min_hw):
                 # EXACT space-to-depth reformulation (layers.py helpers):
                 # 2x2 spatial phases fold into channels, the (·,5,5)/p2 conv
                 # becomes (·,3,3)/p1 over 4x the channels (feeds the MXU a

@@ -61,10 +61,15 @@ def test_folded_kernel_matches_direct_conv(cin, cout):
                                np.asarray(pool_want), rtol=1e-5, atol=1e-5)
 
 
-def test_encoder_s2d_matches_direct():
+def test_encoder_s2d_matches_direct(monkeypatch):
     """Same variables, matching forward + gradients through the 5-stage
-    encoder in train mode (stages 1-3 fold; 4-5 stay direct)."""
+    encoder in train mode (stages 1-3 fold; 4-5 stay direct). The spatial
+    cutoff is pinned below the test geometry so folding actually engages
+    (production default MAAVSS_S2D_MIN_HW=128 — the on-chip bisection showed
+    folding loses below that)."""
     from maavss_tpu.models.fusion_frames import FramesVisualEncoder
+
+    monkeypatch.setenv("MAAVSS_S2D_MIN_HW", "8")
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random((2, 1, 4, 48, 48)), jnp.float32)  # NCDHW
@@ -122,6 +127,7 @@ def test_product_step_s2d_matches_direct(monkeypatch):
     batch = synthetic_av_batch(cfg, 2, seed=0, frame_size=cfg.framesize)
 
     losses = {}
+    monkeypatch.setenv("MAAVSS_S2D_MIN_HW", "8")
     for impl in ("direct", "s2d"):
         monkeypatch.setenv("MAAVSS_CONV3D", impl)
         model = AVFusionFramesModel(stft_shape=ss, frame_shape=fs,
