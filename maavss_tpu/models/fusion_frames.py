@@ -62,7 +62,12 @@ class FramesVisualEncoder(nn.Module):
 
         conv_impl = self.conv_impl
         if conv_impl == "auto":
-            conv_impl = os.environ.get("MAAVSS_CONV3D", "direct")
+            # measured winner per backend (BASELINE.md round 3g/3h): on TPU
+            # the exact space-to-depth stages are +11.3% end-to-end at the
+            # production geometry (window encode; +4.9% under full encode);
+            # off-TPU the fold's layout juggling is pure overhead.
+            default = "s2d" if jax.default_backend() == "tpu" else "direct"
+            conv_impl = os.environ.get("MAAVSS_CONV3D", default)
         pool_impl = self.pool_impl
         if pool_impl == "auto":
             pool_impl = os.environ.get("MAAVSS_POOL", "window")
