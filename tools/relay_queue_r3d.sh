@@ -90,3 +90,14 @@ run quality_frames_full 5400 python tools/quality_curve.py --regime frames \
   --steps 2000 --eval_every 500 --out "$OUT/quality_frames_full.jsonl" \
   -b 32 -lr 1e-3 --data_path synthetic:8 --mask_head --frames_encode full
 log "queue complete"
+
+# appended: Mosaic-compiler subsample capability probe (validate_pgenc found
+# the reshape-split passes lowering but fails backend layout inference)
+run mosaic_probe2 1800 python benchmarks/mosaic_probe2.py
+log "queue complete (incl. mosaic_probe2)"
+
+# appended: frames serving with the full-encode separator (the training-side
+# 2.7x should show up at serving time too)
+run serve_bench_frames_full 3600 python tools/serve_bench.py --model frames \
+  --calls 20 -b 8 --frames_encode full
+log "queue complete (incl. frames-full serving)"
