@@ -59,51 +59,35 @@ def main() -> None:
             from maavss_tpu.models.layers import (
                 Conv3dDepthTaps,
                 _ConvParams,
-                batchnorm_view_to_phase_channels,
-                fold_conv3d_kernel_2x2,
-                phase_channels_to_batchnorm_view,
-                phase_max_2x2,
-                space_to_depth_2x2,
+                frames_conv3d_stage,
             )
 
+            bn_on = os.environ.get("MAAVSS_PROBE_BN", "1") == "1"
             for i, (out_ch, pad, pool) in enumerate(STAGES[: self.n]):
                 s2d_min_hw = int(os.environ.get("MAAVSS_S2D_MIN_HW",
                                                  "128"))
-                if (conv_impl == "s2d" and pool == 2 and pad == (2, 2)
-                        and x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0
-                        and min(x.shape[2], x.shape[3]) >= s2d_min_hw):
-                    kernel, _ = _ConvParams(out_ch, x.shape[-1], (3, 5, 5),
-                                            False, name=f"Conv_{i}")()
-                    xf = space_to_depth_2x2(x.astype(dtype))
-                    kf = fold_conv3d_kernel_2x2(kernel.astype(dtype))
-                    y = jax.lax.conv_general_dilated(
-                        xf, kf, window_strides=(1, 1, 1),
-                        padding=((1, 1), (1, 1), (1, 1)),
-                        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
-                    if os.environ.get("MAAVSS_PROBE_BN", "1") == "1":
-                        y = phase_channels_to_batchnorm_view(y)
-                        y = TorchBatchNorm(dtype=dtype)(y, train)
-                        y = batchnorm_view_to_phase_channels(y)
-                    x = nn.leaky_relu(phase_max_2x2(y), negative_slope=0.01)
-                    continue
                 if conv_impl == "taps":
                     x = Conv3dDepthTaps(out_ch, kernel_size=(3, 5, 5),
                                         padding=((1, 1), pad, pad),
                                         use_bias=False, dtype=dtype,
                                         name=f"Conv_{i}")(x)
-                else:
-                    x = nn.Conv(out_ch, kernel_size=(3, 5, 5),
-                                strides=(1, 1, 1), padding=((1, 1), pad, pad),
-                                use_bias=False, dtype=dtype,
-                                name=f"Conv_{i}")(x)
-                if os.environ.get("MAAVSS_PROBE_BN", "1") == "1":
-                    x = TorchBatchNorm(dtype=dtype)(x, train)
-                if pool_impl == "reshape":
-                    x = max_pool_reshape(x, pool)
-                else:
-                    x = nn.max_pool(x, window_shape=(1, pool, pool),
-                                    strides=(1, pool, pool))
-                x = nn.leaky_relu(x, negative_slope=0.01)
+                    if bn_on:
+                        x = TorchBatchNorm(dtype=dtype)(x, train)
+                    if pool_impl == "reshape":
+                        x = max_pool_reshape(x, pool)
+                    else:
+                        x = nn.max_pool(x, window_shape=(1, pool, pool),
+                                        strides=(1, pool, pool))
+                    x = nn.leaky_relu(x, negative_slope=0.01)
+                    continue
+                kernel, _ = _ConvParams(out_ch, x.shape[-1], (3, 5, 5),
+                                        False, name=f"Conv_{i}")()
+                bn = TorchBatchNorm(dtype=dtype) if bn_on else None
+                x = frames_conv3d_stage(
+                    x, kernel, pad, pool, conv_impl=conv_impl, dtype=dtype,
+                    bn_apply=(None if bn is None
+                              else (lambda y, _bn=bn: _bn(y, train))),
+                    pool_impl=pool_impl, s2d_min_hw=s2d_min_hw)
             return x
 
     rng = np.random.default_rng(0)

@@ -71,7 +71,7 @@ class FramesVisualEncoder(nn.Module):
         pool_impl = self.pool_impl
         if pool_impl == "auto":
             pool_impl = os.environ.get("MAAVSS_POOL", "window")
-        if conv_impl not in ("direct", "taps", "s2d"):
+        if conv_impl not in ("direct", "taps", "s2d", "tfold"):
             raise ValueError(f"unknown conv3d impl {conv_impl}")
         if pool_impl not in ("window", "reshape"):
             raise ValueError(f"unknown pool impl {pool_impl}")
@@ -90,58 +90,35 @@ class FramesVisualEncoder(nn.Module):
         # (runs/probe_r3g stage bisection: s1 -26%, s2 -6%, s3 +33%)
         s2d_min_hw = int(os.environ.get("MAAVSS_S2D_MIN_HW", "128"))
         for i, (out_ch, pad, pool) in enumerate(stages):
-            if (conv_impl == "s2d" and pool == 2 and pad == (2, 2)
-                    and x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0
-                    and min(x.shape[2], x.shape[3]) >= s2d_min_hw):
-                # EXACT space-to-depth reformulation (layers.py helpers):
-                # 2x2 spatial phases fold into channels, the (·,5,5)/p2 conv
-                # becomes (·,3,3)/p1 over 4x the channels (feeds the MXU a
-                # 4x-deeper contraction with 4x the output rows — the first
-                # stages are channel-starved at ~11% MXU, BASELINE round 3f),
-                # and the stage's (2,2)/s2 max pool is a free max over the 4
-                # output phases. Same param tree as nn.Conv (checkpoints
-                # interchange); parity tested in tests/test_frames_s2d.py.
-                from maavss_tpu.models.layers import (
-                    _ConvParams,
-                    batchnorm_view_to_phase_channels,
-                    fold_conv3d_kernel_2x2,
-                    phase_channels_to_batchnorm_view,
-                    phase_max_2x2,
-                    space_to_depth_2x2,
-                )
-
-                kernel, _ = _ConvParams(out_ch, x.shape[-1], (3, 5, 5),
-                                        False, name=f"Conv_{i}")()
-                xf = space_to_depth_2x2(x.astype(self.dtype))
-                kf = fold_conv3d_kernel_2x2(kernel.astype(self.dtype))
-                y = jax.lax.conv_general_dilated(
-                    xf, kf, window_strides=(1, 1, 1),
-                    padding=((1, 1), (1, 1), (1, 1)),
-                    dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
-                y = phase_channels_to_batchnorm_view(y)
-                y = TorchBatchNorm(dtype=self.dtype)(y, train)
-                y = batchnorm_view_to_phase_channels(y)
-                x = nn.leaky_relu(phase_max_2x2(y), negative_slope=0.01)
-                continue
             if conv_impl == "taps":
                 x = Conv3dDepthTaps(
                     out_ch, kernel_size=(3, 5, 5),
                     padding=((1, 1), pad, pad), use_bias=False,
                     dtype=self.dtype, name=f"Conv_{i}",
                 )(x)
-            else:
-                x = nn.Conv(
-                    out_ch, kernel_size=(3, 5, 5), strides=(1, 1, 1),
-                    padding=((1, 1), pad, pad), use_bias=False,
-                    dtype=self.dtype, name=f"Conv_{i}",
-                )(x)
-            x = TorchBatchNorm(dtype=self.dtype)(x, train)
-            if pool_impl == "reshape":
-                x = max_pool_reshape(x, pool)
-            else:
-                x = nn.max_pool(x, window_shape=(1, pool, pool),
-                                strides=(1, pool, pool))
-            x = nn.leaky_relu(x, negative_slope=0.01)  # torch LeakyReLU default
+                x = TorchBatchNorm(dtype=self.dtype)(x, train)
+                if pool_impl == "reshape":
+                    x = max_pool_reshape(x, pool)
+                else:
+                    x = nn.max_pool(x, window_shape=(1, pool, pool),
+                                    strides=(1, pool, pool))
+                x = nn.leaky_relu(x, negative_slope=0.01)
+                continue
+            # direct / s2d / tfold share one stage executor (layers.py
+            # frames_conv3d_stage — exact reformulations, parity tested in
+            # tests/test_frames_s2d.py + tests/test_frames_tfold.py). The
+            # kernel param is declared here so the tree is identical across
+            # impls (same names/shapes as nn.Conv — checkpoints interchange).
+            from maavss_tpu.models.layers import _ConvParams, frames_conv3d_stage
+
+            kernel, _ = _ConvParams(out_ch, x.shape[-1], (3, 5, 5),
+                                    False, name=f"Conv_{i}")()
+            bn = TorchBatchNorm(dtype=self.dtype)
+            x = frames_conv3d_stage(
+                x, kernel, pad, pool, conv_impl=conv_impl, dtype=self.dtype,
+                bn_apply=lambda y, _bn=bn: _bn(y, train),
+                pool_impl=pool_impl, s2d_min_hw=s2d_min_hw)
+            # torch LeakyReLU default slope 0.01 applied inside the stage
         x = jnp.moveaxis(x, -1, 1)  # -> NCDHW
         b, c, t = x.shape[0], x.shape[1], x.shape[2]
         return x.reshape(b, c, t, -1)

@@ -342,6 +342,110 @@ def batchnorm_view_to_phase_channels(y: jnp.ndarray) -> jnp.ndarray:
     return y.reshape(b, d, h, w4 // 4, 4 * c)
 
 
+def time_fold_3taps(x: jnp.ndarray) -> jnp.ndarray:
+    """NDHWC [B,T,H,W,C] -> [B,T,H,W,3C]: the t-1/t/t+1 frames concatenated
+    along channels (zero-padded at the sequence ends — the conv3d's temporal
+    pad (1,1)), channel index kt*C + c for temporal tap kt."""
+    t = x.shape[1]
+    xp = jnp.pad(x, ((0, 0), (1, 1)) + ((0, 0),) * (x.ndim - 2))
+    return jnp.concatenate(
+        [jax.lax.slice_in_dim(xp, k, k + t, axis=1) for k in range(3)],
+        axis=-1)
+
+
+def fold_conv3d_kernel_time(kernel: jnp.ndarray) -> jnp.ndarray:
+    """[KD,KH,KW,C,Co] -> [KH,KW,KD*C,Co] matching time_fold_3taps's channel
+    layout (kt*C + c), so a 2D conv over the folded channels equals the
+    stride-1 3D conv with temporal pad (1,1)."""
+    kd, kh, kw, c, co = kernel.shape
+    return jnp.moveaxis(kernel, 0, 2).reshape(kh, kw, kd * c, co)
+
+
+def conv2d_timefold(x: jnp.ndarray, kernel: jnp.ndarray,
+                    pad_hw: Tuple[Tuple[int, int], Tuple[int, int]]) -> jnp.ndarray:
+    """EXACT stride-1 conv3d (temporal pad (1,1)) as ONE 2D convolution:
+    fold the KD=3 temporal taps into channels (time_fold_3taps) and run a
+    single [B*T, H, W, 3C] conv2d with a 3x-deeper contraction.
+
+    Why: the frames trunk's first stages are channel-starved on the MXU
+    (BASELINE.md round 3f: ~11% MXU); XLA:TPU's 2D conv path with KD*C input
+    channels feeds the systolic array a deeper contraction per pass than its
+    direct conv3d schedule. Costs one materialized 3x-channel copy of the
+    stage input (HBM write+read) — whether the deeper MXU pass pays for that
+    traffic is measured on chip (benchmarks/frames_probe.py, MAAVSS_CONV3D=
+    tfold)."""
+    xt = time_fold_3taps(x)
+    b, t = xt.shape[0], xt.shape[1]
+    y = jax.lax.conv_general_dilated(
+        xt.reshape((b * t,) + xt.shape[2:]),
+        fold_conv3d_kernel_time(kernel),
+        window_strides=(1, 1), padding=pad_hw,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y.reshape((b, t) + y.shape[1:])
+
+
+def frames_conv3d_stage(x: jnp.ndarray, kernel: jnp.ndarray,
+                        pad: Tuple[int, int], pool: int, *,
+                        conv_impl: str, dtype: jnp.dtype,
+                        bn_apply=None, pool_impl: str = "window",
+                        s2d_min_hw: int = 128) -> jnp.ndarray:
+    """One frames-trunk stage — conv3d(3,5,5)/s1 + BatchNorm + (pool,pool)
+    max pool + LeakyReLU(0.01) (avse_model_final.py:33-59) — with selectable
+    mathematically-identical executions:
+
+    - 'direct': XLA's native conv3d.
+    - 's2d':    2x2 space-to-depth phase fold where eligible (pool==2,
+                pad==(2,2), even spatial >= s2d_min_hw) — conv (·,3,3)/p1
+                over 4x channels, BN through the phase view, pool as a free
+                phase max (BASELINE.md round 3g/3h: +11.3% end-to-end).
+    - 'tfold':  temporal-tap fold on top: every stage runs as ONE 2D conv
+                with 3x the input channels (conv2d_timefold), composed with
+                the s2d fold on eligible stages.
+
+    `bn_apply` is a callable(y)->y supplied by the owning flax module (so
+    this helper stays parameter-free); None skips BN (probe ablations).
+    The caller declares `kernel` via _ConvParams so the param tree is
+    identical across impls and checkpoints interchange."""
+    x = x.astype(dtype)
+    kernel = kernel.astype(dtype)
+    s2d_ok = (pool == 2 and tuple(pad) == (2, 2)
+              and x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0
+              and min(x.shape[2], x.shape[3]) >= s2d_min_hw)
+    if conv_impl in ("s2d", "tfold") and s2d_ok:
+        xf = space_to_depth_2x2(x)
+        kf = fold_conv3d_kernel_2x2(kernel)
+        if conv_impl == "tfold":
+            y = conv2d_timefold(xf, kf, ((1, 1), (1, 1)))
+        else:
+            y = jax.lax.conv_general_dilated(
+                xf, kf, window_strides=(1, 1, 1),
+                padding=((1, 1), (1, 1), (1, 1)),
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        if bn_apply is not None:
+            y = phase_channels_to_batchnorm_view(y)
+            y = bn_apply(y)
+            y = batchnorm_view_to_phase_channels(y)
+        return nn.leaky_relu(phase_max_2x2(y), negative_slope=0.01)
+    if conv_impl == "tfold":
+        y = conv2d_timefold(x, kernel,
+                            ((pad[0], pad[0]), (pad[1], pad[1])))
+    elif conv_impl in ("direct", "s2d"):  # s2d falls back where ineligible
+        y = jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(1, 1, 1),
+            padding=((1, 1), pad, pad),
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    else:
+        raise ValueError(f"unknown conv3d impl {conv_impl}")
+    if bn_apply is not None:
+        y = bn_apply(y)
+    if pool_impl == "reshape":
+        y = max_pool_reshape(y, pool)
+    else:
+        y = nn.max_pool(y, window_shape=(1, pool, pool),
+                        strides=(1, pool, pool))
+    return nn.leaky_relu(y, negative_slope=0.01)
+
+
 def max_pool_reshape(x: jnp.ndarray, p: int) -> jnp.ndarray:
     """Non-overlapping (1, p, p) max pool on NDHWC via crop+reshape+max —
     identical values to `nn.max_pool(window=(1,p,p), strides=(1,p,p))`
