@@ -1,0 +1,312 @@
+"""Serving daemon: dynamic batching + HTTP front-end over an exported
+separator artifact.
+
+The reference has no serving story at all (inference = re-running the
+training Python stack by hand; see exp/export.py). This module is the
+deployment half the export artifact needs: a long-lived process that owns
+the device, coalesces concurrent requests into the artifact's pinned batch,
+and answers over plain HTTP.
+
+Design, shaped by the measured serving facts (BASELINE.md round 3d/3f/3i):
+
+- **One executor thread owns the device.** The axon relay tolerates exactly
+  one client (CLAUDE.md), and on any backend a single submission stream is
+  what makes batching effective. HTTP handler threads only enqueue and wait.
+- **Weights are device-resident** — uploaded once at startup
+  (`jax.device_put`); re-sending them per request measured 74x/22x slower
+  (runs/probe_r3c vs r3d).
+- **Dynamic batching with zero-padding.** `jax.export` pins the batch size
+  B at export time, so partial batches pad with zero rows (the separator is
+  row-independent: padding changes no real row's output). Requests may carry
+  1..B rows; a request that does not fit the current batch waits for the
+  next one. `max_wait_ms` bounds the latency a lone request pays waiting
+  for company.
+- **Wire format: npz.** POST /v1/separate with an .npz body holding
+  `audio` [b, S] and `visual` (uint8 frames / f16 phasegram rows / f32
+  phasegrams — exactly the export input specs, which the /healthz endpoint
+  advertises); the response is an .npz with `audio_out` [b, S]. numpy's npz
+  is self-describing, stdlib-loadable, and keeps the uint8 frames wire win
+  (round 3d: the fp32 visual payload was ~4x the bytes).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+class _Pending:
+    """One in-flight request: rows + a completion event."""
+
+    __slots__ = ("audio", "visual", "event", "result", "error", "t_enqueue")
+
+    def __init__(self, audio: np.ndarray, visual: np.ndarray):
+        self.audio = audio
+        self.visual = visual
+        self.event = threading.Event()
+        self.result: Optional[np.ndarray] = None
+        self.error: Optional[BaseException] = None
+        self.t_enqueue = time.perf_counter()
+
+
+_STOP = object()
+
+
+class BatchingExecutor:
+    """Coalesces row-level requests into full pinned-size batches and runs
+    them on ONE device-owning thread.
+
+    submit(audio [b,S], visual [b,...]) -> _Pending whose `event` fires when
+    `result` ([b, S_out]) or `error` is set.
+    """
+
+    def __init__(self, exported, variables: Dict[str, Any], batch: int,
+                 audio_spec, visual_spec, max_wait_ms: float = 5.0):
+        import jax
+
+        self.exported = exported
+        self.batch = int(batch)
+        self.audio_spec = audio_spec
+        self.visual_spec = visual_spec
+        self.max_wait_s = float(max_wait_ms) / 1e3
+        # weights go to the device once; the artifact call then only moves
+        # request rows (the resident-weights serving mode, BASELINE round 3d)
+        self.variables = jax.device_put(variables)
+        jax.block_until_ready(self.variables)
+        self._queue: "queue.Queue" = queue.Queue()
+        self._holdover: Optional[_Pending] = None
+        self._lock = threading.Lock()
+        self.stats = {
+            "requests": 0, "rows": 0, "batches": 0, "rows_padded": 0,
+            "errors": 0,
+        }
+        self._lat_ms: List[float] = []  # request enqueue->resolve, ring
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="maavss-serve-executor")
+        self._thread.start()
+
+    # ---- request side -----------------------------------------------------
+    def submit(self, audio: np.ndarray, visual: np.ndarray) -> _Pending:
+        audio = np.asarray(audio)
+        visual = np.asarray(visual)
+        if audio.ndim != len(self.audio_spec.shape):
+            raise ValueError(f"audio must be {len(self.audio_spec.shape)}D "
+                             f"[rows, {self.audio_spec.shape[1]}], got shape "
+                             f"{audio.shape}")
+        rows = audio.shape[0]
+        if not 1 <= rows <= self.batch:
+            raise ValueError(f"request rows must be 1..{self.batch} "
+                             f"(artifact batch), got {rows}")
+        if audio.shape[1:] != self.audio_spec.shape[1:]:
+            raise ValueError(f"audio row shape {audio.shape[1:]} != artifact "
+                             f"spec {self.audio_spec.shape[1:]}")
+        if visual.shape[0] != rows:
+            raise ValueError(f"visual rows {visual.shape[0]} != audio rows "
+                             f"{rows}")
+        if visual.shape[1:] != self.visual_spec.shape[1:]:
+            raise ValueError(f"visual row shape {visual.shape[1:]} != "
+                             f"artifact spec {self.visual_spec.shape[1:]}")
+        if visual.dtype != self.visual_spec.dtype:
+            raise ValueError(f"visual dtype {visual.dtype} != artifact spec "
+                             f"{np.dtype(self.visual_spec.dtype)}")
+        pending = _Pending(audio.astype(self.audio_spec.dtype, copy=False),
+                           visual)
+        self._queue.put(pending)
+        return pending
+
+    def stop(self) -> None:
+        self._queue.put(_STOP)
+        self._thread.join(timeout=30)
+
+    def snapshot(self) -> Dict[str, Any]:
+        with self._lock:
+            out = dict(self.stats)
+            lat = sorted(self._lat_ms)
+        if lat:
+            out["latency_ms_p50"] = round(lat[len(lat) // 2], 2)
+            out["latency_ms_p90"] = round(lat[min(len(lat) - 1,
+                                                  int(0.9 * len(lat)))], 2)
+        out["batch"] = self.batch
+        if out["batches"]:
+            out["mean_fill"] = round(out["rows"] / (out["batches"]
+                                                    * self.batch), 3)
+        return out
+
+    # ---- device side ------------------------------------------------------
+    def _take_group(self) -> Optional[List[_Pending]]:
+        """Collect requests up to the pinned batch or max_wait; honors a
+        holdover request that did not fit the previous group."""
+        first = self._holdover
+        self._holdover = None
+        if first is None:
+            first = self._queue.get()  # block for work
+            if first is _STOP:
+                return None
+        group, rows = [first], first.audio.shape[0]
+        deadline = time.perf_counter() + self.max_wait_s
+        while rows < self.batch:
+            timeout = deadline - time.perf_counter()
+            if timeout <= 0:
+                break
+            try:
+                nxt = self._queue.get(timeout=timeout)
+            except queue.Empty:
+                break
+            if nxt is _STOP:
+                self._queue.put(_STOP)  # stop after draining this group
+                break
+            if rows + nxt.audio.shape[0] > self.batch:
+                self._holdover = nxt
+                break
+            group.append(nxt)
+            rows += nxt.audio.shape[0]
+        return group
+
+    def _loop(self) -> None:
+        while True:
+            group = self._take_group()
+            if group is None:
+                return
+            rows = sum(p.audio.shape[0] for p in group)
+            audio = np.zeros(self.audio_spec.shape, self.audio_spec.dtype)
+            visual = np.zeros(self.visual_spec.shape, self.visual_spec.dtype)
+            ofs = 0
+            for p in group:
+                n = p.audio.shape[0]
+                audio[ofs:ofs + n] = p.audio
+                visual[ofs:ofs + n] = p.visual
+                ofs += n
+            try:
+                out = np.asarray(self.exported.call(
+                    self.variables["params"], self.variables["batch_stats"],
+                    audio, visual))
+                ofs = 0
+                for p in group:
+                    n = p.audio.shape[0]
+                    p.result = out[ofs:ofs + n]
+                    ofs += n
+            except Exception as e:  # resolve the whole group with the error
+                for p in group:
+                    p.error = e
+                with self._lock:
+                    self.stats["errors"] += 1
+            now = time.perf_counter()
+            with self._lock:
+                self.stats["requests"] += len(group)
+                self.stats["rows"] += rows
+                self.stats["batches"] += 1
+                self.stats["rows_padded"] += self.batch - rows
+                for p in group:
+                    self._lat_ms.append((now - p.t_enqueue) * 1e3)
+                if len(self._lat_ms) > 4096:
+                    del self._lat_ms[:-2048]
+            for p in group:
+                p.event.set()
+
+
+def _npz_bytes(**arrays) -> bytes:
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    return buf.getvalue()
+
+
+def make_handler(executor: BatchingExecutor, info: Dict[str, Any],
+                 request_timeout_s: float = 120.0):
+    """BaseHTTPRequestHandler bound to `executor`; `info` is the static
+    /healthz payload (model, batch, platform, input specs)."""
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def _json(self, code: int, payload: Dict[str, Any]) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 (stdlib API)
+            if self.path == "/healthz":
+                self._json(200, {"ok": True, **info})
+            elif self.path == "/stats":
+                self._json(200, executor.snapshot())
+            else:
+                self._json(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):  # noqa: N802
+            if self.path != "/v1/separate":
+                self._json(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                with np.load(io.BytesIO(self.rfile.read(length))) as z:
+                    audio, visual = z["audio"], z["visual"]
+                pending = executor.submit(audio, visual)
+            except (ValueError, KeyError, OSError) as e:
+                self._json(400, {"error": str(e)})
+                return
+            if not pending.event.wait(request_timeout_s):
+                self._json(504, {"error": "separation timed out"})
+                return
+            if pending.error is not None:
+                self._json(500, {"error": str(pending.error)})
+                return
+            body = _npz_bytes(audio_out=pending.result)
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt, *args):  # quiet: metrics live in /stats
+            pass
+
+    return Handler
+
+
+class SeparationServer:
+    """ThreadingHTTPServer wrapper: serve_forever on a thread, clean stop."""
+
+    def __init__(self, executor: BatchingExecutor, info: Dict[str, Any],
+                 host: str = "127.0.0.1", port: int = 8423,
+                 request_timeout_s: float = 120.0):
+        self.executor = executor
+        self.httpd = ThreadingHTTPServer(
+            (host, port), make_handler(executor, info, request_timeout_s))
+        self.httpd.daemon_threads = True
+        self._thread = threading.Thread(target=self.httpd.serve_forever,
+                                        daemon=True, name="maavss-serve-http")
+
+    @property
+    def address(self) -> Tuple[str, int]:
+        return self.httpd.server_address[:2]
+
+    def start(self) -> "SeparationServer":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        self.executor.stop()
+
+
+def separate_over_http(url: str, audio: np.ndarray,
+                       visual: np.ndarray) -> np.ndarray:
+    """Minimal stdlib client: one POST /v1/separate round trip."""
+    from urllib.request import Request, urlopen
+
+    req = Request(url.rstrip("/") + "/v1/separate",
+                  data=_npz_bytes(audio=audio, visual=visual),
+                  headers={"Content-Type": "application/octet-stream"})
+    with urlopen(req) as resp:
+        with np.load(io.BytesIO(resp.read())) as z:
+            return z["audio_out"]

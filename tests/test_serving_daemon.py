@@ -1,0 +1,131 @@
+"""Serving daemon (exp/serving.py + tools/serve.py): dynamic batching over
+the exported artifact, HTTP wire format, input validation.
+
+All in-process on CPU with the tiny fusion geometry (same as
+tests/test_export.py). The correctness anchor is row-independence: a row
+served alone (zero-padded batch) must match the same row served inside a
+full batch and the direct `exported.call`.
+"""
+
+import json
+import threading
+from urllib.error import HTTPError
+from urllib.request import urlopen
+
+import numpy as np
+import pytest
+
+import jax
+
+from maavss_tpu.config import RunConfig
+from maavss_tpu.exp.export import (
+    export_separator,
+    np_variables,
+    random_serving_inputs,
+    serving_input_specs,
+)
+from maavss_tpu.exp.serving import (
+    BatchingExecutor,
+    SeparationServer,
+    separate_over_http,
+)
+from maavss_tpu.models.fusion import AVFusionModel
+
+CFG = RunConfig(num_frames=4, num_seq=4, hops_per_frame=4, fft_len=64,
+                p_size=16, latent_chan=8, fc_size=256, batch_size=4)
+
+
+@pytest.fixture(scope="module")
+def served():
+    import jax.numpy as jnp
+    from jax import export as jax_export
+
+    t_stft = CFG.hops_per_frame * CFG.num_frames
+    model = AVFusionModel(
+        stft_shape=(CFG.batch_size, 2, t_stft, CFG.fft_len // 2),
+        pgram_shape=(CFG.batch_size, 1, CFG.num_frames, CFG.p_size**2),
+        latent_channels=CFG.latent_chan, fc_size=CFG.fc_size)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros(model.stft_shape),
+                           jnp.zeros(model.pgram_shape),
+                           method=model.init_all)
+    exported = jax_export.deserialize(export_separator(
+        model, CFG, variables, CFG.batch_size, platforms=("cpu",)))
+    a_spec, v_spec = serving_input_specs(CFG, CFG.batch_size)
+    executor = BatchingExecutor(exported, np_variables(variables),
+                                CFG.batch_size, a_spec, v_spec,
+                                max_wait_ms=30.0)
+    server = SeparationServer(executor, {"model": "fusion",
+                                         "batch": CFG.batch_size,
+                                         "audio_shape": list(a_spec.shape),
+                                         "visual_shape": list(v_spec.shape)},
+                              port=0).start()
+    url = f"http://127.0.0.1:{server.address[1]}"
+    vars_np = np_variables(variables)
+
+    def direct(audio, visual):
+        return np.asarray(exported.call(vars_np["params"],
+                                        vars_np["batch_stats"],
+                                        audio, visual))
+
+    yield url, executor, direct
+    server.stop()
+
+
+def test_full_batch_request_matches_direct(served):
+    url, _, direct = served
+    audio, visual = random_serving_inputs(CFG, CFG.batch_size)
+    out = separate_over_http(url, audio, visual)
+    np.testing.assert_allclose(out, direct(audio, visual), rtol=1e-6,
+                               atol=1e-7)
+
+
+def test_concurrent_single_rows_coalesce_and_match(served):
+    url, executor, direct = served
+    audio, visual = random_serving_inputs(CFG, CFG.batch_size, seed=1)
+    before = executor.snapshot()["batches"]
+    results = [None] * CFG.batch_size
+
+    def one(i):
+        results[i] = separate_over_http(url, audio[i:i + 1], visual[i:i + 1])
+
+    threads = [threading.Thread(target=one, args=(i,))
+               for i in range(CFG.batch_size)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    want = direct(audio, visual)
+    for i in range(CFG.batch_size):
+        assert results[i].shape == (1, want.shape[1])
+        # row-independence: alone-or-batched must agree
+        np.testing.assert_allclose(results[i][0], want[i], rtol=1e-5,
+                                   atol=1e-6)
+    after = executor.snapshot()
+    # 4 single-row requests within max_wait must have shared batches
+    assert after["batches"] - before < CFG.batch_size
+    assert after["rows"] >= CFG.batch_size
+
+
+def test_oversize_and_misshaped_requests_rejected(served):
+    url, executor, _ = served
+    audio, visual = random_serving_inputs(CFG, CFG.batch_size)
+    with pytest.raises(ValueError, match="rows must be 1.."):
+        executor.submit(np.concatenate([audio, audio]),
+                        np.concatenate([visual, visual]))
+    with pytest.raises(HTTPError) as ei:
+        separate_over_http(url, audio[:1, :-3], visual[:1])
+    assert ei.value.code == 400
+    with pytest.raises(HTTPError) as ei:
+        separate_over_http(url + "/nope", audio[:1], visual[:1])
+    assert ei.value.code == 404
+
+
+def test_health_and_stats_endpoints(served):
+    url, _, _ = served
+    with urlopen(url + "/healthz") as resp:
+        health = json.loads(resp.read())
+    assert health["ok"] and health["batch"] == CFG.batch_size
+    with urlopen(url + "/stats") as resp:
+        stats = json.loads(resp.read())
+    assert stats["requests"] >= 1 and "latency_ms_p50" in stats
