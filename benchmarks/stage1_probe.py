@@ -113,6 +113,16 @@ def main() -> None:
 
         return nn.leaky_relu(yn, negative_slope=0.01)
 
+    def stage_fused(xin, kin, sc, bi):
+        """The fused Pallas epilogue (ops/pallas_epilogue.py): conv + ONE
+        stats pass + ONE apply pass (backward: 1/4-domain reduce + one
+        full read/write) replacing the whole BN+pool+leaky tail."""
+        from maavss_tpu.ops.pallas_epilogue import fused_bn_phasemax_leaky
+
+        y = conv(xin, kin)
+        out, _, _ = fused_bn_phasemax_leaky(y, sc, bi)
+        return out
+
     def fwd_probe(fn, *fargs):
         @jax.jit
         def run(*a):
@@ -138,6 +148,8 @@ def main() -> None:
         "stage_fwdbwd": fwdbwd_probe(stage, x, k, scale, bias),
         "stage_bnpost_fwd": fwd_probe(stage_bnpost, x, k, scale, bias),
         "stage_bnpost_fwdbwd": fwdbwd_probe(stage_bnpost, x, k, scale, bias),
+        "stage_fused_fwd": fwd_probe(stage_fused, x, k, scale, bias),
+        "stage_fused_fwdbwd": fwdbwd_probe(stage_fused, x, k, scale, bias),
     }
     results = {}
     for name, (run, fargs) in cases.items():

@@ -55,6 +55,7 @@ class FramesVisualEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     conv_impl: str = "auto"  # auto | direct | taps
     pool_impl: str = "auto"  # auto | window | reshape
+    epilogue: str = "auto"  # auto | fused | xla ($MAAVSS_EPILOGUE)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -71,10 +72,21 @@ class FramesVisualEncoder(nn.Module):
         pool_impl = self.pool_impl
         if pool_impl == "auto":
             pool_impl = os.environ.get("MAAVSS_POOL", "window")
+        epilogue = self.epilogue
+        if epilogue == "auto":
+            epilogue = os.environ.get("MAAVSS_EPILOGUE", "auto")
+        if epilogue == "auto":
+            # fused Pallas BN+phase-max+leaky epilogue on the s2d stages
+            # (ops/pallas_epilogue.py, targeting the measured 42-of-63-ms
+            # XLA epilogue, BASELINE.md round 3j). auto stays 'xla' until
+            # the on-chip A/B lands — flip here with the numbers.
+            epilogue = "xla"
         if conv_impl not in ("direct", "taps", "s2d", "tfold"):
             raise ValueError(f"unknown conv3d impl {conv_impl}")
         if pool_impl not in ("window", "reshape"):
             raise ValueError(f"unknown pool impl {pool_impl}")
+        if epilogue not in ("fused", "xla"):
+            raise ValueError(f"unknown epilogue impl {epilogue}")
 
         # NCDHW -> NDHWC
         x = jnp.moveaxis(x, 1, -1)
@@ -96,7 +108,8 @@ class FramesVisualEncoder(nn.Module):
                     padding=((1, 1), pad, pad), use_bias=False,
                     dtype=self.dtype, name=f"Conv_{i}",
                 )(x)
-                x = TorchBatchNorm(dtype=self.dtype)(x, train)
+                x = TorchBatchNorm(dtype=self.dtype,
+                                   name=f"TorchBatchNorm_{i}")(x, train)
                 if pool_impl == "reshape":
                     x = max_pool_reshape(x, pool)
                 else:
@@ -109,11 +122,44 @@ class FramesVisualEncoder(nn.Module):
             # tests/test_frames_s2d.py + tests/test_frames_tfold.py). The
             # kernel param is declared here so the tree is identical across
             # impls (same names/shapes as nn.Conv — checkpoints interchange).
-            from maavss_tpu.models.layers import _ConvParams, frames_conv3d_stage
+            from maavss_tpu.models.layers import (
+                _BNHolder, _ConvParams, frames_conv3d_stage, s2d_fold_eligible,
+            )
 
             kernel, _ = _ConvParams(out_ch, x.shape[-1], (3, 5, 5),
                                     False, name=f"Conv_{i}")()
-            bn = TorchBatchNorm(dtype=self.dtype)
+            # fused Pallas epilogue (ops/pallas_epilogue.py): replaces the
+            # whole BN+phase-max+leaky tail of an s2d stage in ONE stats
+            # pass + ONE apply pass (and a 2-pass backward). Train-mode
+            # only; BN params/stats declared via _BNHolder at the exact
+            # TorchBatchNorm_i/BatchNorm_0 paths so checkpoints and the
+            # eval path (flax BatchNorm reading the same tree) interchange.
+            fused_ok = (epilogue == "fused" and train
+                        and conv_impl == "s2d"
+                        and s2d_fold_eligible(x.shape, pad, pool, s2d_min_hw))
+            if fused_ok:
+                from maavss_tpu.ops.pallas_epilogue import (
+                    fused_bn_phasemax_leaky,
+                )
+
+                scale, bias, ra_mean, ra_var = _BNHolder(
+                    out_ch, name=f"TorchBatchNorm_{i}")()
+
+                def fused_tail(y, _s=scale, _b=bias, _rm=ra_mean, _rv=ra_var):
+                    out, mu, var = fused_bn_phasemax_leaky(y, _s, _b)
+                    if not self.is_initializing():
+                        # flax BatchNorm running update (momentum 0.9,
+                        # biased batch var — same rule as nn.BatchNorm)
+                        _rm.value = 0.9 * _rm.value + 0.1 * mu
+                        _rv.value = 0.9 * _rv.value + 0.1 * var
+                    return out
+
+                x = frames_conv3d_stage(
+                    x, kernel, pad, pool, conv_impl=conv_impl,
+                    dtype=self.dtype, fused_tail=fused_tail,
+                    pool_impl=pool_impl, s2d_min_hw=s2d_min_hw)
+                continue
+            bn = TorchBatchNorm(dtype=self.dtype, name=f"TorchBatchNorm_{i}")
             x = frames_conv3d_stage(
                 x, kernel, pad, pool, conv_impl=conv_impl, dtype=self.dtype,
                 bn_apply=lambda y, _bn=bn: _bn(y, train),

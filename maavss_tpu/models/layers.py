@@ -384,11 +384,22 @@ def conv2d_timefold(x: jnp.ndarray, kernel: jnp.ndarray,
     return y.reshape((b, t) + y.shape[1:])
 
 
+def s2d_fold_eligible(x_shape, pad, pool: int, s2d_min_hw: int) -> bool:
+    """Can this stage run as 2x2 space-to-depth phase channels? (pool==2 so
+    the pool is exactly the phase max; pad (2,2) so the fold's (3,3)/p1 conv
+    is exact; spatial even and large enough that folding measured a win —
+    runs/probe_r3g.) Shared by frames_conv3d_stage and the owning module's
+    fused-epilogue gate so the two can never disagree."""
+    return (pool == 2 and tuple(pad) == (2, 2)
+            and x_shape[2] % 2 == 0 and x_shape[3] % 2 == 0
+            and min(x_shape[2], x_shape[3]) >= s2d_min_hw)
+
+
 def frames_conv3d_stage(x: jnp.ndarray, kernel: jnp.ndarray,
                         pad: Tuple[int, int], pool: int, *,
                         conv_impl: str, dtype: jnp.dtype,
                         bn_apply=None, pool_impl: str = "window",
-                        s2d_min_hw: int = 128) -> jnp.ndarray:
+                        s2d_min_hw: int = 128, fused_tail=None) -> jnp.ndarray:
     """One frames-trunk stage — conv3d(3,5,5)/s1 + BatchNorm + (pool,pool)
     max pool + LeakyReLU(0.01) (avse_model_final.py:33-59) — with selectable
     mathematically-identical executions:
@@ -404,13 +415,15 @@ def frames_conv3d_stage(x: jnp.ndarray, kernel: jnp.ndarray,
 
     `bn_apply` is a callable(y)->y supplied by the owning flax module (so
     this helper stays parameter-free); None skips BN (probe ablations).
+    `fused_tail`, when not None and the s2d fold is taken, replaces the
+    whole BN + phase-max + leaky tail with one callable(y_phase_major)->out
+    (the fused Pallas epilogue, ops/pallas_epilogue.py — the BN+pool
+    epilogue is 42 of stage 1's 63 ms under XLA, BASELINE.md round 3j).
     The caller declares `kernel` via _ConvParams so the param tree is
     identical across impls and checkpoints interchange."""
     x = x.astype(dtype)
     kernel = kernel.astype(dtype)
-    s2d_ok = (pool == 2 and tuple(pad) == (2, 2)
-              and x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0
-              and min(x.shape[2], x.shape[3]) >= s2d_min_hw)
+    s2d_ok = s2d_fold_eligible(x.shape, pad, pool, s2d_min_hw)
     if conv_impl in ("s2d", "tfold") and s2d_ok:
         xf = space_to_depth_2x2(x)
         kf = fold_conv3d_kernel_2x2(kernel)
@@ -421,6 +434,8 @@ def frames_conv3d_stage(x: jnp.ndarray, kernel: jnp.ndarray,
                 xf, kf, window_strides=(1, 1, 1),
                 padding=((1, 1), (1, 1), (1, 1)),
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        if fused_tail is not None:
+            return fused_tail(y)
         if bn_apply is not None:
             y = phase_channels_to_batchnorm_view(y)
             y = bn_apply(y)

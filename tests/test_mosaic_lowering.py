@@ -32,11 +32,12 @@ def real_lowering(monkeypatch):
     goes through Mosaic when cross-lowered (off-TPU the modules default to
     interpreter mode for CPU parity tests)."""
     import maavss_tpu.ops.pallas_adam as pa
+    import maavss_tpu.ops.pallas_epilogue as pe
     import maavss_tpu.ops.pallas_kernels as pk
     import maavss_tpu.ops.pallas_lstm as pll
     import maavss_tpu.ops.pallas_pgenc as pg
 
-    for mod in (pa, pk, pll, pg):
+    for mod in (pa, pe, pk, pll, pg):
         monkeypatch.setattr(mod, "_interpret", lambda: False)
 
 
@@ -132,6 +133,30 @@ def test_pgenc_lowers_train_eval_backward(real_lowering, tap_mode):
     _lower_tpu(ev, x, w2, cb, gamma, beta,
                jnp.zeros((c_out,), jnp.float32),
                jnp.ones((c_out,), jnp.float32))
+
+
+@pytest.mark.parametrize("c,dtype", [(16, jnp.bfloat16), (32, jnp.bfloat16),
+                                     (64, jnp.float32)])
+def test_fused_epilogue_lowers_forward_and_backward(real_lowering, c, dtype):
+    """The frames-stage fused BN+phase-max+leaky epilogue
+    (ops/pallas_epilogue.py) at the product channel widths: C=16 (stage 1,
+    64-lane blocks with static 16-lane phase slices — the narrowest layout),
+    C=32 (stage 2), C=64 (stage 3 if the s2d cutoff is lowered). Guards the
+    lane-slice/concat lowering and both grid-accumulator reductions."""
+    from maavss_tpu.ops.pallas_epilogue import fused_bn_phasemax_leaky
+
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.standard_normal((2, 2, 16, 16, 4 * c)), dtype)
+    gamma = jnp.asarray(rng.standard_normal(c), jnp.float32)
+    beta = jnp.asarray(rng.standard_normal(c), jnp.float32)
+    _lower_tpu(fused_bn_phasemax_leaky, y, gamma, beta)
+
+    def loss(y, gamma, beta):
+        out, mu, var = fused_bn_phasemax_leaky(y, gamma, beta)
+        return (jnp.sum(jnp.square(out.astype(jnp.float32)))
+                + jnp.sum(mu) + jnp.sum(var))
+
+    _lower_tpu(jax.grad(loss, argnums=(0, 1, 2)), y, gamma, beta)
 
 
 def test_pgenc_first_and_last_planned_layers_lower(real_lowering):
