@@ -71,15 +71,28 @@ def _interpret() -> bool:
 _SLOPE = 0.01  # torch LeakyReLU default (avse_model_final.py:58)
 _EPS = 1e-5  # torch/flax BatchNorm default
 
-# Per-grid-step VMEM budget for the blocked row tensors. The heaviest pass
-# (backward dy) holds y [R,4C] + dy [R,4C] + g/sel [R,C] ~ 10C*itemsize per
-# row, double-buffered by the pipeline; 2 MiB per buffer set stays far under
-# Mosaic's ~16 MiB scoped-VMEM cap (measured on chip, CLAUDE.md).
-_VMEM_BUDGET = 2 * 1024 * 1024
+# VMEM accounting must use PADDED lane widths: every [R, w] array occupies
+# ceil(w/128)*128 lanes in VMEM, so at C=16 a [R, C] fp32 temp costs 8x its
+# nominal bytes — the first on-chip compile OOMed the default 16 MiB scoped
+# cap exactly this way (22.58M wanted, runs/probe_r4a/validate_epilogue.err).
+# Blocks are sized against a padded-footprint estimate per kernel, and every
+# pallas_call raises the Mosaic scoped-VMEM limit toward the v5e's 128 MiB
+# physical VMEM to keep blocks (and therefore grid counts) reasonable.
+_VMEM_BUDGET = 20 * 1024 * 1024
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _pad_lanes(w: int) -> int:
+    return -(-w // 128) * 128
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 
 
 def _row_block(n_rows: int, bytes_per_row: int) -> int:
-    """Largest power-of-two divisor of n_rows that fits the VMEM budget."""
+    """Largest power-of-two divisor of n_rows whose PADDED per-row footprint
+    fits the VMEM budget."""
     r = n_rows & -n_rows  # largest pow2 dividing n_rows
     r = min(r, 8192)
     while r > 1 and r * bytes_per_row > _VMEM_BUDGET:
@@ -104,11 +117,10 @@ def _stats_kernel(y_ref, sums_ref, acc_ref):
     def _zero():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    y = y_ref[:].astype(jnp.float32)
     s = jnp.zeros((1, c), jnp.float32)
     ss = jnp.zeros((1, c), jnp.float32)
     for ph in range(4):
-        yp = y[:, ph * c:(ph + 1) * c]
+        yp = y_ref[:, ph * c:(ph + 1) * c].astype(jnp.float32)
         s = s + jnp.sum(yp, axis=0, keepdims=True)
         ss = ss + jnp.sum(yp * yp, axis=0, keepdims=True)
     acc_ref[0:1, :] += s
@@ -122,17 +134,17 @@ def _stats_kernel(y_ref, sums_ref, acc_ref):
 def _apply_kernel(y_ref, mu_ref, rstd_ref, gamma_ref, beta_ref,
                   out_ref, sel_ref):
     """Normalize + phase max + leaky in one read: out = leaky(BN(sel)),
-    sel = max_ph y (gamma>0) or min_ph y (gamma<0)."""
+    sel = max_ph y (gamma>0) or min_ph y (gamma<0). max/min run in the IO
+    dtype (exact — they only select), keeping fp32 temps at [R, C] width."""
     c = out_ref.shape[-1]
-    y = y_ref[:].astype(jnp.float32)
-    m = y[:, 0:c]
-    n = y[:, 0:c]
+    m = y_ref[:, 0:c]
+    n = y_ref[:, 0:c]
     for ph in range(1, 4):
-        yp = y[:, ph * c:(ph + 1) * c]
+        yp = y_ref[:, ph * c:(ph + 1) * c]
         m = jnp.maximum(m, yp)
         n = jnp.minimum(n, yp)
     gamma = gamma_ref[:]
-    sel = jnp.where(gamma > 0, m, n)
+    sel = jnp.where(gamma > 0, m.astype(jnp.float32), n.astype(jnp.float32))
     o_bn = gamma * (sel - mu_ref[:]) * rstd_ref[:] + beta_ref[:]
     out = jnp.where(o_bn >= 0, o_bn, _SLOPE * o_bn)
     out_ref[:] = out.astype(out_ref.dtype)
@@ -170,14 +182,15 @@ def _bwd_dy_kernel(y_ref, g_ref, sel_ref, mu_ref, rstd_ref, gamma_ref,
     """Full-domain dy in ONE read of y + one write of dy. The selected-phase
     routing recomputes first-match masks from (y, sel) — sel round-trips
     bit-exact through the IO dtype, so y_ph == sel is an exact re-selection.
+    The equality runs in fp32 (bf16->fp32 is exact and injective, so the
+    compare is bit-equivalent): v5e Mosaic rejects bf16 vector compares
+    ("Target does not support this comparison", runs/probe_r4b).
     k_ref rows: [k1, k2, ka, kb] = [gamma*S1/N, gamma*S2/N,
     g_mu/N - 2*g_var*mu/N, 2*g_var/N] (the last two carry the mu/var output
     cotangents, zero in product training where running stats are buffers)."""
     c = g_ref.shape[-1]
-    y = y_ref[:].astype(jnp.float32)
     g = g_ref[:].astype(jnp.float32)
-    sel_io = sel_ref[:]
-    sel = sel_io.astype(jnp.float32)
+    sel = sel_ref[:].astype(jnp.float32)
     mu, rstd, gamma, beta = mu_ref[:], rstd_ref[:], gamma_ref[:], beta_ref[:]
     xhat_sel = (sel - mu) * rstd
     o_bn = gamma * xhat_sel + beta
@@ -189,9 +202,8 @@ def _bwd_dy_kernel(y_ref, g_ref, sel_ref, mu_ref, rstd_ref, gamma_ref,
     taken = jnp.zeros_like(g, dtype=jnp.bool_)
     parts = []
     for ph in range(4):
-        yp_io = y_ref[:][:, ph * c:(ph + 1) * c]
-        yp = y[:, ph * c:(ph + 1) * c]
-        hit = jnp.logical_and(yp_io == sel_io, jnp.logical_not(taken))
+        yp = y_ref[:, ph * c:(ph + 1) * c].astype(jnp.float32)
+        hit = jnp.logical_and(yp == sel, jnp.logical_not(taken))
         taken = jnp.logical_or(taken, hit)
         dxhat = jnp.where(hit, dsel_g, 0.0)
         xhat = (yp - mu) * rstd
@@ -205,7 +217,9 @@ def _bwd_dy_kernel(y_ref, g_ref, sel_ref, mu_ref, rstd_ref, gamma_ref,
 
 def _stats(y2: jnp.ndarray, c: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     n = y2.shape[0]
-    r = _row_block(n, 4 * c * y2.dtype.itemsize)
+    it = y2.dtype.itemsize
+    # padded footprint/row: y in (double-buffered) + one fp32 phase temp
+    r = _row_block(n, _pad_lanes(4 * c) * 2 * it + _pad_lanes(c) * 8)
     sums = pl.pallas_call(
         _stats_kernel,
         grid=(n // r,),
@@ -213,6 +227,7 @@ def _stats(y2: jnp.ndarray, c: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
         out_specs=pl.BlockSpec((2, c), lambda i: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((2, c), jnp.float32),
         scratch_shapes=[pltpu.VMEM((2, c), jnp.float32)],
+        compiler_params=_compiler_params(),
         interpret=_interpret(),
     )(y2)
     ntot = jnp.float32(4 * n)
@@ -223,7 +238,11 @@ def _stats(y2: jnp.ndarray, c: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 def _apply(y2, mu, rstd, gamma, beta, c):
     n = y2.shape[0]
-    r = _row_block(n, 6 * c * y2.dtype.itemsize)
+    it = y2.dtype.itemsize
+    # y in x2 buffers + out/sel x2 each + ~6 fp32 [R, C] temps (m/n/sel/
+    # o_bn/out and slack), all at PADDED lane widths
+    r = _row_block(n, _pad_lanes(4 * c) * 2 * it
+                   + _pad_lanes(c) * (4 * it + 6 * 4))
     out, sel = pl.pallas_call(
         _apply_kernel,
         grid=(n // r,),
@@ -231,6 +250,7 @@ def _apply(y2, mu, rstd, gamma, beta, c):
         + [_chan_spec(c)] * 4,
         out_specs=[pl.BlockSpec((r, c), lambda i: (i, 0))] * 2,
         out_shape=[jax.ShapeDtypeStruct((n, c), y2.dtype)] * 2,
+        compiler_params=_compiler_params(),
         interpret=_interpret(),
     )(y2, mu.reshape(1, c), rstd.reshape(1, c),
       gamma.reshape(1, c), beta.reshape(1, c))
@@ -267,7 +287,7 @@ def _fused_bwd(res, cts):
     c = c4 // 4
     itemsize = y2.dtype.itemsize
 
-    r = _row_block(n, 3 * c * itemsize)
+    r = _row_block(n, _pad_lanes(c) * (4 * itemsize + 6 * 4))
     sums = pl.pallas_call(
         _bwd_reduce_kernel,
         grid=(n // r,),
@@ -276,6 +296,7 @@ def _fused_bwd(res, cts):
         out_specs=pl.BlockSpec((2, c), lambda i: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((2, c), jnp.float32),
         scratch_shapes=[pltpu.VMEM((2, c), jnp.float32)],
+        compiler_params=_compiler_params(),
         interpret=_interpret(),
     )(g_out, sel, mu.reshape(1, c), rstd.reshape(1, c),
       gamma32.reshape(1, c), beta32.reshape(1, c))
@@ -291,7 +312,10 @@ def _fused_bwd(res, cts):
         2.0 * g_var / ntot,
     ])
 
-    r = _row_block(n, 10 * c * itemsize)
+    # y in x2 + dy out x2 + g/sel x2 each + per-phase fp32 temps + 4 held
+    # bf16 parts before the concat, padded lane widths throughout
+    r = _row_block(n, _pad_lanes(4 * c) * (4 * itemsize + 8)
+                   + _pad_lanes(c) * (4 * itemsize + 8 * 4))
     dy = pl.pallas_call(
         _bwd_dy_kernel,
         grid=(n // r,),
@@ -301,6 +325,7 @@ def _fused_bwd(res, cts):
         + [_chan_spec(c)] * 4 + [pl.BlockSpec((4, c), lambda i: (0, 0))],
         out_specs=pl.BlockSpec((r, 4 * c), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((n, 4 * c), y2.dtype),
+        compiler_params=_compiler_params(),
         interpret=_interpret(),
     )(y2, g_out, sel, mu.reshape(1, c), rstd.reshape(1, c),
       gamma32.reshape(1, c), beta32.reshape(1, c), k)
