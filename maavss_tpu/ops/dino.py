@@ -16,8 +16,15 @@ Faithfulness notes:
   implements it as a usable feature.
 - weights: `convert_torch_checkpoint` maps the official DINO
   `dino_deitsmall8_pretrain.pth` ("teacher" key, video_attention.py:28,131)
-  onto this module; positional embeddings are bicubic-resized for non-224
-  inputs like DINO's interpolate_pos_encoding.
+  onto this module; positional embeddings at non-native sizes are resized
+  with a TORCH-EXACT bicubic matrix (`_torch_bicubic_matrix`): the official
+  interpolate_pos_encoding (dino/vision_transformer.py, imported by
+  video_attention.py:18) calls F.interpolate(mode='bicubic',
+  scale_factor=(hp+0.1)/grid) — cubic kernel a=-0.75, source index
+  (i+0.5)*grid/(hp+0.1)-0.5, replicate-clamped taps. jax.image.resize uses
+  the Keys a=-0.5 kernel and drifted ~10% on CLS features after 12 blocks
+  (round-4 golden-fixture check), so the interpolation is built as a static
+  [hp, grid] matrix applied as two matmuls — exact AND MXU-shaped.
 """
 
 from __future__ import annotations
@@ -35,6 +42,35 @@ VIT_CONFIGS = {
     "vit_small": dict(embed_dim=384, depth=12, num_heads=6),
     "vit_base": dict(embed_dim=768, depth=12, num_heads=12),
 }
+
+
+def _torch_bicubic_matrix(n_in: int, n_out: int) -> "np.ndarray":
+    """[n_out, n_in] matrix reproducing torch F.interpolate(mode='bicubic',
+    align_corners=False, scale_factor=(n_out+0.1)/n_in) exactly — DINO's
+    interpolate_pos_encoding call, including its +0.1 fudge (which makes the
+    source-coordinate scale 1/scale_factor = n_in/(n_out+0.1), NOT
+    n_in/n_out: torch uses the *given* scale_factor in the coordinate map).
+    Cubic convolution kernel a=-0.75, taps replicate-clamped at the border.
+    Built once per static (hp, wp) at trace time; applied as matmuls."""
+
+    def cubic(x: float, a: float = -0.75) -> float:
+        x = abs(x)
+        if x <= 1.0:
+            return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0
+        if x < 2.0:
+            return (((x - 5.0) * x + 8.0) * x - 4.0) * a
+        return 0.0
+
+    scale = n_in / (n_out + 0.1)
+    m = np.zeros((n_out, n_in), np.float64)
+    for i in range(n_out):
+        src = (i + 0.5) * scale - 0.5
+        i0 = int(np.floor(src))
+        t = src - i0
+        for k, wgt in enumerate((cubic(t + 1.0), cubic(t), cubic(1.0 - t),
+                                 cubic(2.0 - t))):
+            m[i, min(max(i0 - 1 + k, 0), n_in - 1)] += wgt
+    return m.astype(np.float32)
 
 
 class Attention(nn.Module):
@@ -106,13 +142,17 @@ class VisionTransformer(nn.Module):
         self.norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")
 
     def _pos_embed_for(self, hp: int, wp: int) -> jnp.ndarray:
-        """Bicubic pos-embed interpolation (DINO interpolate_pos_encoding)."""
+        """Pos-embed interpolation, bit-matching DINO's
+        interpolate_pos_encoding (torch bicubic a=-0.75 with the +0.1 scale
+        fudge) via static interpolation matrices — see module docstring."""
         cls_pe = self.pos_embed[:, :1]
         patch_pe = self.pos_embed[:, 1:].reshape(
             1, self.pos_grid, self.pos_grid, self.embed_dim)
         if (hp, wp) != (self.pos_grid, self.pos_grid):
-            patch_pe = jax.image.resize(
-                patch_pe, (1, hp, wp, self.embed_dim), method="bicubic")
+            mh = jnp.asarray(_torch_bicubic_matrix(self.pos_grid, hp))
+            mw = jnp.asarray(_torch_bicubic_matrix(self.pos_grid, wp))
+            patch_pe = jnp.einsum("oh,bhwd->bowd", mh, patch_pe)
+            patch_pe = jnp.einsum("ow,bhwd->bhod", mw, patch_pe)
         return jnp.concatenate([cls_pe, patch_pe.reshape(1, hp * wp, -1)], axis=1)
 
     def _prepare(self, x: jnp.ndarray) -> jnp.ndarray:
