@@ -23,7 +23,13 @@ def test_dryrun_multichip_bare_subprocess():
          "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
     assert out.returncode == 0, out.stderr[-2000:]
-    assert "dryrun_multichip ok" in out.stdout
+    # one line per flag-matrix block (round-4 widening): the core dp x tp
+    # check plus the K-step / microbatch / frames compositions
+    assert "dryrun_multichip fusion dpxtp ok" in out.stdout
+    assert "K=2 (--steps_per_dispatch) ok" in out.stdout
+    assert "fusion dp microbatch=2 ok" in out.stdout
+    assert "frames(full) ok" in out.stdout
+    assert "frames(full) dpxtp ok" in out.stdout
     assert "'data': 4, 'model': 2" in out.stdout
 
 
