@@ -116,7 +116,10 @@ class RunConfig:
     #   1.26 ms speed-of-light). 'auto' resolves per backend to the measured
     #   winner (train/setup.py:_opt_kernel). Incompatible with staged
     #   trainable-prefix training, --fused_opt, and --mesh_model > 1.
-    pgenc_kernel: str = "xla"  # phasegram-encoder execution: xla | pallas.
+    pgenc_kernel: str = "xla"  # phasegram-encoder execution: xla|pallas|fold.
+    #   'fold' runs every conv lane-folded (ops/pgenc_fold.py; exact math,
+    #   same param tree): W-positions fold into channels so the stack's
+    #   1..32-channel first half stops paying the TPU 128-lane padding tax.
     #   'pallas' fuses each conv(1,9)/s2 + BN + tanh layer into one Pallas
     #   program (ops/pallas_pgenc.py; identical param tree, checkpoints
     #   interchange). Measured DEAD END on TPU (BASELINE.md round 3d): the
@@ -278,9 +281,10 @@ def build_parser(parser: Optional[argparse.ArgumentParser] = None) -> argparse.A
                         "or XLA's optax chain (auto = measured per-backend "
                         "winner)")
     p.add_argument("--pgenc_kernel", type=str, default="xla",
-                   choices=("xla", "pallas"),
-                   help="phasegram-encoder execution: fused Pallas "
-                        "conv+BN+tanh layers or XLA's ConvStack")
+                   choices=("xla", "pallas", "fold"),
+                   help="phasegram-encoder execution: XLA's ConvStack, "
+                        "fused Pallas conv+BN+tanh layers, or the exact "
+                        "lane-folded XLA form (128-lane-dense activations)")
     p.add_argument("--steps_per_dispatch", type=int, default=1,
                    help="optimizer steps per compiled dispatch (K batches "
                         "staged on device, lax.scan over them)")

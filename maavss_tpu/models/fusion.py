@@ -22,7 +22,12 @@ from typing import Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from maavss_tpu.models.layers import ConvStack, PallasConvStack1x9, make_birnn
+from maavss_tpu.models.layers import (
+    ConvStack,
+    FoldedConvStack1x9,
+    PallasConvStack1x9,
+    make_birnn,
+)
 from maavss_tpu.ops.pallas_kernels import complex_mask_apply
 from maavss_tpu.models.shape_plan import (
     plan_phasegram_decoder,
@@ -87,11 +92,17 @@ class AVFusionModel(nn.Module):
             self.phasegram_encoder = PallasConvStack1x9(
                 tuple(pg_enc), dtype=self.dtype,
                 tap_mode=os.environ.get("MAAVSS_PGENC_TAPS", "dense"))
+        elif self.pgenc_kernel == "fold":
+            # lane-folded exact execution (ops/pgenc_fold.py): same param
+            # tree, W-positions folded into channels so the 1..32-channel
+            # first half stops paying the 128-lane padding tax
+            self.phasegram_encoder = FoldedConvStack1x9(
+                tuple(pg_enc), dtype=self.dtype)
         elif self.pgenc_kernel == "xla":
             self.phasegram_encoder = ConvStack(tuple(pg_enc), dtype=self.dtype)
         else:
             raise ValueError(
-                f"unknown pgenc_kernel {self.pgenc_kernel!r} (xla|pallas)")
+                f"unknown pgenc_kernel {self.pgenc_kernel!r} (xla|pallas|fold)")
         self.phasegram_decoder = ConvStack(tuple(pg_dec), dtype=self.dtype)
         self.stft_encoder = ConvStack(tuple(a_enc), dtype=self.dtype)
         self.stft_decoder = ConvStack(tuple(a_dec), dtype=self.dtype)

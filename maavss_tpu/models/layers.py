@@ -224,6 +224,85 @@ class PallasConvStack1x9(nn.Module):
         return jnp.transpose(h, (1, 0, 2, 3))  # -> NCHW
 
 
+class FoldedConvStack1x9(nn.Module):
+    """Drop-in replacement for ConvStack on the planned phasegram-encoder
+    stacks (conv(1,9)/s(1,2)/p(0,4) + BN + tanh, avse_model.py:427-446),
+    executing every conv LANE-FOLDED (ops/pgenc_fold.py): W-positions fold
+    into the channel dim so tensors stay 128-lane dense — the direct stack
+    runs its first half at 1..32 channels, each padded to 128 lanes by the
+    TPU tile, and enc_v is the fusion step's dominant HBM mover (6.6 GB,
+    64% HBM / 9% MXU; BASELINE.md round 3c).
+
+    Exact math (the folded kernel is a gather of the original parameter;
+    tests/test_pgenc_fold.py), and the parameter/batch_stats trees are
+    IDENTICAL to ConvStack's, so checkpoints interchange and
+    --pgenc_kernel fold is a pure compute-path switch.
+    """
+
+    specs: Tuple[ConvSpec, ...]
+    dtype: jnp.dtype = jnp.float32
+    use_bias: bool = True
+    lane_target: int = 128
+
+    def _check(self):
+        for spec in self.specs:
+            ok = (not spec.transpose and spec.kernel == (1, 9)
+                  and spec.stride == (1, 2) and spec.padding == (0, 4)
+                  and spec.norm and spec.act == "tanh")
+            if not ok:
+                raise ValueError(
+                    f"FoldedConvStack1x9 supports only the planned "
+                    f"(1,9)/s(1,2)/p(0,4)+BN+tanh layers, got {spec}")
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        from maavss_tpu.ops.pgenc_fold import (
+            fold_lanes,
+            folded_conv_1x9_s2,
+            plan_folds,
+            unfold_lanes,
+        )
+
+        self._check()
+        b, c, t, s = x.shape
+        folds = plan_folds([sp.in_ch for sp in self.specs], s,
+                           self.lane_target)
+        h = jnp.moveaxis(x, 1, -1).astype(self.dtype)  # NCHW -> NHWC
+        for i, (spec, f) in enumerate(zip(self.specs, folds)):
+            kernel, cbias = _ConvParams(
+                spec.out_ch, spec.in_ch, spec.kernel, self.use_bias,
+                name=f"Conv_{i}")()
+            scale, bias, ra_mean, ra_var = _BNHolder(
+                spec.out_ch, name=f"TorchBatchNorm_{i}")()
+            y = folded_conv_1x9_s2(fold_lanes(h, f),
+                                   kernel.astype(self.dtype), f)
+            f_out = f // 2
+            if cbias is not None:
+                y = y + jnp.tile(cbias, f_out).astype(y.dtype)
+            # BN(train/eval) + tanh in the folded view: per-channel over the
+            # f_out lane groups (stats in fp32, flax convention)
+            *lead, wf, _ = y.shape
+            yv = y.reshape(*lead, wf, f_out, spec.out_ch)
+            if train:
+                yf = yv.astype(jnp.float32)
+                axes = tuple(range(yf.ndim - 1))
+                mu = jnp.mean(yf, axis=axes)
+                var = jnp.mean(jnp.square(yf), axis=axes) - jnp.square(mu)
+                if not self.is_initializing():
+                    # flax BatchNorm running update (momentum 0.9, biased var)
+                    ra_mean.value = 0.9 * ra_mean.value + 0.1 * mu
+                    ra_var.value = 0.9 * ra_var.value + 0.1 * var
+            else:
+                mu, var = ra_mean.value, ra_var.value
+            yn = (yv - mu.astype(yv.dtype)) * jax.lax.rsqrt(
+                var + 1e-5).astype(yv.dtype)
+            yn = yn * scale.astype(yv.dtype) + bias.astype(yv.dtype)
+            yn = jnp.tanh(yn)
+            h = unfold_lanes(yn.reshape(*lead, wf, f_out * spec.out_ch),
+                             f_out, spec.out_ch)
+        return jnp.moveaxis(h, -1, 1)  # NHWC -> NCHW
+
+
 class Conv3dDepthTaps(nn.Module):
     """Exact replacement for `nn.Conv` with a (KD, KH, KW) kernel at stride 1
     on NDHWC input, computed as KD shifted 2-D convolutions summed over the
