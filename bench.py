@@ -19,7 +19,8 @@ MAAVSS_BENCH_WINDOWS (count), MAAVSS_BENCH_WINDOW_MODE (scan|vectorized),
 MAAVSS_BENCH_REGIME (fusion|frames), MAAVSS_BENCH_PGRAM (0|1, default 1:
 ingest-precomputed phasegram rows), MAAVSS_BENCH_MICROBATCH (frames),
 MAAVSS_BENCH_MULTISTEP, MAAVSS_LSTM (auto|scan|pallas),
-MAAVSS_BENCH_PGENC (xla|pallas: fused phasegram-encoder layers),
+MAAVSS_BENCH_PGENC (auto|xla|fold|pallas: phasegram-encoder path; auto =
+lane-folded on TPU, BASELINE.md round 4c),
 MAAVSS_BENCH_FRAMES_ENCODE (window|full: frames visual trunk per sliding
 window vs once over the full sequence).
 
@@ -63,7 +64,7 @@ def _build_fusion(cfg, batch_size):
         rnn_cell=os.environ.get("MAAVSS_BENCH_RNN", "lstm"),
         rnn_unroll=int(os.environ.get("MAAVSS_BENCH_UNROLL", "1")),
         mask_head=os.environ.get("MAAVSS_BENCH_MASK_HEAD", "0") == "1",
-        pgenc_kernel=os.environ.get("MAAVSS_BENCH_PGENC", "xla"),
+        pgenc_kernel=os.environ.get("MAAVSS_BENCH_PGENC", "auto"),
     )
     from maavss_tpu.train.setup import jit_init
 
@@ -276,7 +277,7 @@ def main() -> None:
         "microbatch": int(os.environ.get("MAAVSS_BENCH_MICROBATCH", "1")),
         "fused_opt": os.environ.get("MAAVSS_BENCH_FUSED_OPT", "0") == "1",
         "opt_kernel": os.environ.get("MAAVSS_BENCH_OPT_KERNEL", "xla"),
-        "pgenc_kernel": os.environ.get("MAAVSS_BENCH_PGENC", "xla"),
+        "pgenc_kernel": os.environ.get("MAAVSS_BENCH_PGENC", "auto"),
         "frames_encode": os.environ.get("MAAVSS_BENCH_FRAMES_ENCODE", "window"),
         "epilogue": os.environ.get("MAAVSS_EPILOGUE", "auto"),
         "host_load": host_load,

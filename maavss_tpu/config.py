@@ -28,6 +28,13 @@ class RunConfig:
     val_steps: int = 8
     mode_freq: int = 1
     objective_zeros: bool = False
+    lr_schedule: str = "constant"  # constant | cosine | warmup_cosine. The
+    #   reference trains at a flat LR (train.py:55); the schedules are a
+    #   quality lever it lacks. cosine decays to lr*lr_final_scale over
+    #   epochs*steps_per_epoch; warmup_cosine prepends a linear ramp of
+    #   warmup_steps from 0 to the peak LR.
+    warmup_steps: int = 0
+    lr_final_scale: float = 0.0  # cosine floor as a fraction of the peak LR
     data_path: str = "data/raw"
 
     # -- clip geometry (run_config.py:16-21)
@@ -116,7 +123,10 @@ class RunConfig:
     #   1.26 ms speed-of-light). 'auto' resolves per backend to the measured
     #   winner (train/setup.py:_opt_kernel). Incompatible with staged
     #   trainable-prefix training, --fused_opt, and --mesh_model > 1.
-    pgenc_kernel: str = "xla"  # phasegram-encoder execution: xla|pallas|fold.
+    pgenc_kernel: str = "auto"  # phasegram-encoder execution:
+    #   auto|xla|pallas|fold. 'auto' resolves per backend to the measured
+    #   winner: 'fold' on TPU (+10.7% end-to-end, BASELINE.md round 4c),
+    #   'xla' elsewhere.
     #   'fold' runs every conv lane-folded (ops/pgenc_fold.py; exact math,
     #   same param tree): W-positions fold into channels so the stack's
     #   1..32-channel first half stops paying the TPU 128-lane padding tax.
@@ -186,6 +196,14 @@ def build_parser(parser: Optional[argparse.ArgumentParser] = None) -> argparse.A
     p = parser or argparse.ArgumentParser()
     p.add_argument("-b", "--batch_size", type=int, default=4, metavar="N")
     p.add_argument("-lr", "--learning_rate", type=float, default=1e-5)
+    p.add_argument("--lr_schedule", type=str, default="constant",
+                   choices=("constant", "cosine", "warmup_cosine"),
+                   help="LR schedule (constant = reference parity; cosine "
+                        "decays over epochs*steps_per_epoch)")
+    p.add_argument("--warmup_steps", type=int, default=0,
+                   help="linear LR warmup steps (warmup_cosine)")
+    p.add_argument("--lr_final_scale", type=float, default=0.0,
+                   help="cosine floor as a fraction of the peak LR")
     p.add_argument("-lc", "--loss_coeff", type=float, default=0.001)
     p.add_argument("-e", "--epochs", type=int, default=10, help="epochs")
     p.add_argument("-s", "--steps_per_epoch", type=int, default=50,
@@ -280,9 +298,10 @@ def build_parser(parser: Optional[argparse.ArgumentParser] = None) -> argparse.A
                    help="adam update execution: fused per-leaf Pallas kernel "
                         "or XLA's optax chain (auto = measured per-backend "
                         "winner)")
-    p.add_argument("--pgenc_kernel", type=str, default="xla",
-                   choices=("xla", "pallas", "fold"),
-                   help="phasegram-encoder execution: XLA's ConvStack, "
+    p.add_argument("--pgenc_kernel", type=str, default="auto",
+                   choices=("auto", "xla", "pallas", "fold"),
+                   help="phasegram-encoder execution: auto (per-backend "
+                        "measured winner: fold on TPU), XLA's ConvStack, "
                         "fused Pallas conv+BN+tanh layers, or the exact "
                         "lane-folded XLA form (128-lane-dense activations)")
     p.add_argument("--steps_per_dispatch", type=int, default=1,

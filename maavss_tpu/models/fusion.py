@@ -55,17 +55,17 @@ class AVFusionModel(nn.Module):
     # multiplicative head necessarily outputs zeros there; use mask_head for
     # separation-focused training (mode 0/2).
     mask_head: bool = False
-    # phasegram-encoder compute path: 'xla' (ConvStack) or 'pallas' (fused
-    # conv+BN+tanh kernels, ops/pallas_pgenc.py — identical param tree, so
-    # checkpoints interchange). MEASURED DEAD END ON TPU (round 3d): the
-    # Mosaic compiler rejects every in-kernel stride-2 subsample formulation
-    # (strided slices 2D/3D, minormost reshape-split at any width, sublane
-    # stride — runs/probe_r3d/mosaic_probe2.json), and the one design that
-    # compiles (XLA-side per-layer deinterleave feeding static-shift taps)
-    # pays the saved HBM passes back in the deinterleave. 'pallas' therefore
+    # phasegram-encoder compute path: 'auto' (per-backend measured winner),
+    # 'xla' (ConvStack), 'fold' (lane-folded exact execution,
+    # ops/pgenc_fold.py — same param tree, +10.7% end-to-end on TPU,
+    # BASELINE.md round 4c), or 'pallas' (fused conv+BN+tanh kernels,
+    # ops/pallas_pgenc.py). 'pallas' is a MEASURED DEAD END ON TPU (round
+    # 3d): the Mosaic compiler rejects every in-kernel stride-2 subsample
+    # formulation (strided slices 2D/3D, minormost reshape-split at any
+    # width, sublane stride — runs/probe_r3d/mosaic_probe2.json), so it
     # raises on TPU (documented gate, not a crash deep in Mosaic) and stays
     # available off-TPU where interpret mode serves the parity tests.
-    pgenc_kernel: str = "xla"
+    pgenc_kernel: str = "auto"
 
     def setup(self):
         pg_enc, pg_hw = plan_phasegram_encoder(
@@ -76,7 +76,17 @@ class AVFusionModel(nn.Module):
         a_dec, _ = plan_stft_decoder_fusion(a_hw, self.stft_shape, self.latent_channels)
         self.latent_hw = pg_hw
 
-        if self.pgenc_kernel == "pallas":
+        pgenc_kernel = self.pgenc_kernel
+        if pgenc_kernel == "auto":
+            # measured per-backend winner: the lane-folded exact form wins
+            # +10.7% end-to-end on TPU (BASELINE.md round 4c: 14,495 vs
+            # 13,089 clips/s/chip; the 1..32-channel first half stops paying
+            # the 128-lane padding tax); off-TPU the folded gather/transpose
+            # costs more than plain convs save
+            import jax
+
+            pgenc_kernel = "fold" if jax.default_backend() == "tpu" else "xla"
+        if pgenc_kernel == "pallas":
             import os
 
             import jax
@@ -92,17 +102,18 @@ class AVFusionModel(nn.Module):
             self.phasegram_encoder = PallasConvStack1x9(
                 tuple(pg_enc), dtype=self.dtype,
                 tap_mode=os.environ.get("MAAVSS_PGENC_TAPS", "dense"))
-        elif self.pgenc_kernel == "fold":
+        elif pgenc_kernel == "fold":
             # lane-folded exact execution (ops/pgenc_fold.py): same param
             # tree, W-positions folded into channels so the 1..32-channel
             # first half stops paying the 128-lane padding tax
             self.phasegram_encoder = FoldedConvStack1x9(
                 tuple(pg_enc), dtype=self.dtype)
-        elif self.pgenc_kernel == "xla":
+        elif pgenc_kernel == "xla":
             self.phasegram_encoder = ConvStack(tuple(pg_enc), dtype=self.dtype)
         else:
             raise ValueError(
-                f"unknown pgenc_kernel {self.pgenc_kernel!r} (xla|pallas|fold)")
+                f"unknown pgenc_kernel {self.pgenc_kernel!r} "
+                "(auto|xla|pallas|fold)")
         self.phasegram_decoder = ConvStack(tuple(pg_dec), dtype=self.dtype)
         self.stft_encoder = ConvStack(tuple(a_enc), dtype=self.dtype)
         self.stft_decoder = ConvStack(tuple(a_dec), dtype=self.dtype)

@@ -17,21 +17,29 @@ pool=reshape, tfold, depth-taps — all documented negatives). The information
 
 ~2.6 read-equivalents fwd + ~2.6 bwd vs XLA's ~16 total.
 
-LANE PACKING (the round-4b lesson, runs/probe_r4b/stage1.json): TPU tiles
-pad the minormost dim to 128 lanes in HBM and VMEM, so streaming [N, C]
-tensors at C=16 pays an 8x padding tax — the first on-chip build of these
-kernels ran the fwd at 53.6 ms vs XLA's 11.3 (and OOMed HBM on the padded
-sel residual). Every kernel therefore packs P = 128/C consecutive rows per
-128-lane tile (a FREE position-major reshape):
+LAYOUT (v3 — the round-4b/4c lessons, runs/probe_r4b + r4c stage probes):
+two earlier builds lost to XLA on chip and each taught a wall:
 
-  y   [N, 4C] -> [N/P, P*4C]     (row n = P*m + p at lane p*4C + ph*C + c)
-  out/sel [N, C] -> [N/P, P*C]   (lane p*C + c; P*C == 128)
+- v1 streamed [N, C] tensors at C=16 and paid the 128-lane padding tax in
+  VMEM (fwd 53.6 ms vs XLA's 11.3; the padded sel residual OOMed HBM).
+- v2 packed P=128/C rows per 128-lane tile. That made the STREAMS dense but
+  moved the hot math into p_pack x 4 static sub-lane slices of [R, C]
+  (1/8th VPU width at C=16, plus lane shuffles), and the packing reshape
+  [B,T,H,W,4C] -> [N/P, P*4C] is a physical relayout of the conv output,
+  timed inside the op (fwd 36.7 ms vs XLA's 6.4).
 
-and per-lane parameter vectors are pre-tiled to [1, P*C] so the hot math
-(BN affine, leaky, the backward's dsel/xhat) runs on full 128-lane tiles;
-only the phase max/min selection and the backward's gradient routing touch
-[R, C] sub-slices (static contiguous lane slices — the one Mosaic-safe
-slice form, CLAUDE.md).
+v3 therefore streams the conv output in its NATIVE row layout —
+[B,T,H,W,4C] viewed as [N, 4C], a FREE reshape — and does the phase
+reduction with full-vector static pad+slice SHIFTS along the lane axis (the
+one Mosaic-proven vector-displacement form, CLAUDE.md):
+
+  m = max(y, y<<C, y<<2C, y<<3C)        (lanes 0..C-1 = phase max of c)
+  first-match routing: eq = (y == sel4), prefix = eq>>C | eq>>2C | eq>>3C,
+  hit = eq & ~prefix                    (exactly the sequential tie rule)
+
+Every wide op runs at the tensor's natural 4C lanes (64 at stage 1 — half a
+vreg; 128+ at stages 2-3 — dense); only the final [*, :C] selections are
+narrow, and they are contiguous-from-0 lane slices (Mosaic-safe).
 
 The monotonicity trick (proven exact in stage1_probe.py:stage_bnpost): the
 per-channel BN map x -> gamma*(x-mu)*rstd + beta is monotone increasing for
@@ -73,6 +81,7 @@ every product geometry for TPU device-free.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Tuple
 
 import jax
@@ -110,26 +119,29 @@ def _row_block(n_rows: int, bytes_per_row: int) -> int:
     return r
 
 
-def _pack(c: int, n: int) -> int:
-    """Rows packed per 128-lane tile: P = 128/C, capped by divisibility."""
-    p = max(1, 128 // c)
-    while n % p:
-        p //= 2
-    return p
-
-
 def _chan_spec(w: int):
     """[1, w] per-lane operand replicated to every grid step."""
     return pl.BlockSpec((1, w), lambda i: (0, 0))
+
+
+def _shl(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """result[:, l] = x[:, l+k] (zeros shifted in at the tail) — a static
+    pad+slice, the Mosaic-proven lane-displacement form."""
+    return jnp.pad(x, ((0, 0), (0, k)))[:, k:]
+
+
+def _shr(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """result[:, l] = x[:, l-k] (zeros at the head)."""
+    return jnp.pad(x, ((0, 0), (k, 0)))[:, : x.shape[1]]
 
 
 # ---------------------------------------------------------------- forward --
 
 
 def _stats_kernel(y_ref, sums_ref, acc_ref):
-    """Full-lane column sums of y and y*y into an fp32 scratch; the [2, L]
-    result reduces to per-channel (over rows, P row-groups and 4 phases) on
-    the XLA side — the kernel never leaves 128-lane-dense arithmetic."""
+    """Per-LANE column sums of y and y*y into an fp32 scratch; the [2, 4C]
+    result reduces over the 4 phase groups to per-channel on the XLA side —
+    the kernel never leaves natural-lane-width arithmetic."""
 
     @pl.when(pl.program_id(0) == 0)
     def _zero():
@@ -144,26 +156,22 @@ def _stats_kernel(y_ref, sums_ref, acc_ref):
         sums_ref[:] = acc_ref[:]
 
 
-def _apply_kernel(p_pack, y_ref, gamma_c_ref, mu_l_ref, rstd_l_ref,
-                  gamma_l_ref, beta_l_ref, out_ref, sel_ref):
-    """Phase max/min selection per row-group ([R, C] static lane slices),
-    then one full-lane BN-affine + leaky over the packed [R, P*C] tile.
-    max/min run in the IO dtype (exact — they only select)."""
-    c = gamma_c_ref.shape[-1]
+def _apply_kernel(c, y_ref, gamma_c_ref, mu_c_ref, rstd_c_ref, beta_c_ref,
+                  out_ref, sel_ref):
+    """Phase max/min by full-vector lane shifts, then BN-affine + leaky on
+    the [R, C] selection (contiguous-from-0 lane slice). max/min run in the
+    IO dtype (exact — they only select)."""
+    y = y_ref[:]
+    m = y
+    n = y
+    for ph in range(1, 4):
+        s = _shl(y, ph * c)
+        m = jnp.maximum(m, s)
+        n = jnp.minimum(n, s)
     gamma_c = gamma_c_ref[:]
-    parts = []
-    for p in range(p_pack):
-        base = p * 4 * c
-        m = y_ref[:, base:base + c]
-        n = y_ref[:, base:base + c]
-        for ph in range(1, 4):
-            yp = y_ref[:, base + ph * c:base + (ph + 1) * c]
-            m = jnp.maximum(m, yp)
-            n = jnp.minimum(n, yp)
-        parts.append(jnp.where(gamma_c > 0, m, n))
-    sel_io = jnp.concatenate(parts, axis=-1) if p_pack > 1 else parts[0]
+    sel_io = jnp.where(gamma_c > 0, m[:, :c], n[:, :c])
     sel = sel_io.astype(jnp.float32)
-    o_bn = gamma_l_ref[:] * (sel - mu_l_ref[:]) * rstd_l_ref[:] + beta_l_ref[:]
+    o_bn = gamma_c * (sel - mu_c_ref[:]) * rstd_c_ref[:] + beta_c_ref[:]
     out = jnp.where(o_bn >= 0, o_bn, _SLOPE * o_bn)
     out_ref[:] = out.astype(out_ref.dtype)
     sel_ref[:] = sel_io
@@ -172,11 +180,11 @@ def _apply_kernel(p_pack, y_ref, gamma_c_ref, mu_l_ref, rstd_l_ref,
 # --------------------------------------------------------------- backward --
 
 
-def _bwd_reduce_kernel(g_ref, sel_ref, mu_l_ref, rstd_l_ref, gamma_l_ref,
-                       beta_l_ref, sums_ref, acc_ref):
-    """Pooled-domain sums at full lanes: per-LANE S1 = sum(dsel),
-    S2 = sum(dsel * xhat), with dsel = g * leaky'(BN(sel)); the [2, P*C]
-    result collapses over the P row-groups on the XLA side."""
+def _bwd_reduce_kernel(g_ref, sel_ref, mu_c_ref, rstd_c_ref, gamma_c_ref,
+                       beta_c_ref, sums_ref, acc_ref):
+    """Pooled-domain sums: per-channel S1 = sum(dsel), S2 = sum(dsel * xhat),
+    with dsel = g * leaky'(BN(sel)); accumulated across grid steps in an
+    fp32 scratch."""
 
     @pl.when(pl.program_id(0) == 0)
     def _zero():
@@ -184,8 +192,8 @@ def _bwd_reduce_kernel(g_ref, sel_ref, mu_l_ref, rstd_l_ref, gamma_l_ref,
 
     g = g_ref[:].astype(jnp.float32)
     sel = sel_ref[:].astype(jnp.float32)
-    xhat = (sel - mu_l_ref[:]) * rstd_l_ref[:]
-    o_bn = gamma_l_ref[:] * xhat + beta_l_ref[:]
+    xhat = (sel - mu_c_ref[:]) * rstd_c_ref[:]
+    o_bn = gamma_c_ref[:] * xhat + beta_c_ref[:]
     dsel = g * jnp.where(o_bn >= 0, 1.0, _SLOPE)
     acc_ref[0:1, :] += jnp.sum(dsel, axis=0, keepdims=True)
     acc_ref[1:2, :] += jnp.sum(dsel * xhat, axis=0, keepdims=True)
@@ -195,57 +203,52 @@ def _bwd_reduce_kernel(g_ref, sel_ref, mu_l_ref, rstd_l_ref, gamma_l_ref,
         sums_ref[:] = acc_ref[:]
 
 
-def _bwd_dy_kernel(p_pack, y_ref, g_ref, sel_ref, mu_c_ref, rstd_c_ref,
-                   k_ref, mu_l_ref, rstd_l_ref, gamma_l_ref, beta_l_ref,
+def _bwd_dy_kernel(c, y_ref, g_ref, sel_ref, mu_c_ref, rstd_c_ref,
+                   gamma_c_ref, beta_c_ref, mu_l_ref, rstd_l_ref, k_ref,
                    dy_ref):
-    """Full-domain dy in ONE read of y + one write of dy. dsel*gamma (the
-    dxhat at selected positions) is computed once at full lanes; the
-    first-match routing masks recompute from (y, sel) per row-group and
-    phase — sel round-trips bit-exact through the IO dtype and the equality
-    runs in fp32 (exact from bf16; v5e Mosaic rejects bf16 compares).
+    """Full-domain dy in ONE read of y + one write of dy, all full-vector:
+    the selected-position gradient (dsel*gamma) is tiled to every phase
+    group by lane concatenation, the first-match routing mask is
+    eq & ~prefix with prefix = OR of right-shifted eq (the earlier groups'
+    matches), and the compare runs in fp32 (exact from bf16; v5e Mosaic
+    rejects bf16 compares — runs/probe_r4b).
     k_ref rows: [k1, k2, ka, kb] = [gamma*S1/N, gamma*S2/N,
-    g_mu/N - 2*g_var*mu/N, 2*g_var/N] (the last two carry the mu/var output
-    cotangents, zero in product training where running stats are buffers)."""
-    c = mu_c_ref.shape[-1]
+    g_mu/N - 2*g_var*mu/N, 2*g_var/N], pre-tiled to [4, 4C] (the last two
+    carry the mu/var output cotangents, zero in product training where
+    running stats are buffers)."""
+    y = y_ref[:].astype(jnp.float32)
     g = g_ref[:].astype(jnp.float32)
     sel = sel_ref[:].astype(jnp.float32)
-    xhat_sel = (sel - mu_l_ref[:]) * rstd_l_ref[:]
-    o_bn = gamma_l_ref[:] * xhat_sel + beta_l_ref[:]
-    dsel_g = (g * jnp.where(o_bn >= 0, 1.0, _SLOPE)
-              * gamma_l_ref[:])  # == dxhat at selected positions, [R, P*C]
-    mu, rstd = mu_c_ref[:], rstd_c_ref[:]
+    xhat_sel = (sel - mu_c_ref[:]) * rstd_c_ref[:]
+    o_bn = gamma_c_ref[:] * xhat_sel + beta_c_ref[:]
+    dsg = g * jnp.where(o_bn >= 0, 1.0, _SLOPE) * gamma_c_ref[:]  # [R, C]
+    sel4 = jnp.concatenate([sel] * 4, axis=-1)  # [R, 4C]
+    dsg4 = jnp.concatenate([dsg] * 4, axis=-1)
+    eq = y == sel4
+    prefix = jnp.logical_or(
+        jnp.logical_or(_shr(eq, c), _shr(eq, 2 * c)), _shr(eq, 3 * c))
+    hit = jnp.logical_and(eq, jnp.logical_not(prefix))
+    dxhat = jnp.where(hit, dsg4, 0.0)
+    xhat = (y - mu_l_ref[:]) * rstd_l_ref[:]
     k1 = k_ref[0:1, :]
     k2 = k_ref[1:2, :]
     ka = k_ref[2:3, :]
     kb = k_ref[3:4, :]
-    parts = []
-    for p in range(p_pack):
-        sel_p = sel[:, p * c:(p + 1) * c]
-        dsg_p = dsel_g[:, p * c:(p + 1) * c]
-        taken = jnp.zeros_like(sel_p, dtype=jnp.bool_)
-        for ph in range(4):
-            yp = y_ref[:, (p * 4 + ph) * c:(p * 4 + ph + 1) * c].astype(
-                jnp.float32)
-            hit = jnp.logical_and(yp == sel_p, jnp.logical_not(taken))
-            taken = jnp.logical_or(taken, hit)
-            dxhat = jnp.where(hit, dsg_p, 0.0)
-            xhat = (yp - mu) * rstd
-            dyp = rstd * (dxhat - k1 - xhat * k2) + ka + yp * kb
-            parts.append(dyp.astype(dy_ref.dtype))
-    dy_ref[:] = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
+    dy = rstd_l_ref[:] * (dxhat - k1 - xhat * k2) + ka + y * kb
+    dy_ref[:] = dy.astype(dy_ref.dtype)
 
 
 # ---------------------------------------------------------------- wrapper --
 
 
-def _tile_lanes(v: jnp.ndarray, p: int) -> jnp.ndarray:
-    """[C] per-channel fp32 -> [1, P*C] per-lane (lane p*C + c)."""
-    return jnp.tile(v.astype(jnp.float32), p).reshape(1, -1)
+def _tile_lanes(v: jnp.ndarray, reps: int) -> jnp.ndarray:
+    """[C] per-channel fp32 -> [1, reps*C] per-lane (lane ph*C + c)."""
+    return jnp.tile(v.astype(jnp.float32), reps).reshape(1, -1)
 
 
-def _stats(yp: jnp.ndarray, p: int, c: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    m, l4 = yp.shape
-    it = yp.dtype.itemsize
+def _stats(yr: jnp.ndarray, c: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    m, l4 = yr.shape
+    it = yr.dtype.itemsize
     r = _row_block(m, _pad_lanes(l4) * (2 * it + 4))
     sums = pl.pallas_call(
         _stats_kernel,
@@ -256,118 +259,107 @@ def _stats(yp: jnp.ndarray, p: int, c: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
         scratch_shapes=[pltpu.VMEM((2, l4), jnp.float32)],
         compiler_params=_compiler_params(),
         interpret=_interpret(),
-    )(yp)
-    per_chan = jnp.sum(sums.reshape(2, p, 4, c), axis=(1, 2))
-    ntot = jnp.float32(4 * m * p)
+    )(yr)
+    per_chan = jnp.sum(sums.reshape(2, 4, c), axis=1)
+    ntot = jnp.float32(m * 4)
     mu = per_chan[0] / ntot
     var = per_chan[1] / ntot - mu * mu
     return mu, var
 
 
-def _apply(yp, mu, rstd, gamma, beta, p, c):
-    from functools import partial
-
-    m, l4 = yp.shape
-    lo = p * c
-    it = yp.dtype.itemsize
-    # y in x2 buffers + out/sel x2 each + ~6 fp32 full-lane temps, padded
-    r = _row_block(m, _pad_lanes(l4) * 2 * it
-                   + _pad_lanes(lo) * (4 * it + 6 * 4))
+def _apply(yr, mu, rstd, gamma, beta, c):
+    m, l4 = yr.shape
+    it = yr.dtype.itemsize
+    # y block x2 (pipelined) + out/sel x2 each + ~5 full-lane fp32 temps
+    r = _row_block(m, _pad_lanes(l4) * (2 * it + 5 * 4)
+                   + _pad_lanes(c) * 4 * it)
     out, sel = pl.pallas_call(
-        partial(_apply_kernel, p),
+        partial(_apply_kernel, c),
         grid=(m // r,),
-        in_specs=[pl.BlockSpec((r, l4), lambda i: (i, 0)),
-                  _chan_spec(c)] + [_chan_spec(lo)] * 4,
-        out_specs=[pl.BlockSpec((r, lo), lambda i: (i, 0))] * 2,
-        out_shape=[jax.ShapeDtypeStruct((m, lo), yp.dtype)] * 2,
+        in_specs=[pl.BlockSpec((r, l4), lambda i: (i, 0))]
+        + [_chan_spec(c)] * 4,
+        out_specs=[pl.BlockSpec((r, c), lambda i: (i, 0))] * 2,
+        out_shape=[jax.ShapeDtypeStruct((m, c), yr.dtype)] * 2,
         compiler_params=_compiler_params(),
         interpret=_interpret(),
-    )(yp, gamma.reshape(1, c), _tile_lanes(mu, p), _tile_lanes(rstd, p),
-      _tile_lanes(gamma, p), _tile_lanes(beta, p))
+    )(yr, gamma.reshape(1, c), mu.reshape(1, c), rstd.reshape(1, c),
+      beta.reshape(1, c))
     return out, sel
 
 
-from functools import partial as _partial
-
-
-@_partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _fused_core(yp: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray,
-                p: int):
-    """[N/P, P*4C] packed conv output -> (out [N/P, P*C], mu [C], var [C])."""
+@partial(jax.custom_vjp, nondiff_argnums=())
+def _fused_core(yr: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray):
+    """[N, 4C] conv output rows -> (out [N, C], mu [C], var [C])."""
     c = gamma.shape[0]
-    mu, var = _stats(yp, p, c)
+    mu, var = _stats(yr, c)
     rstd = jax.lax.rsqrt(var + _EPS)
-    out, _ = _apply(yp, mu, rstd, gamma.astype(jnp.float32),
-                    beta.astype(jnp.float32), p, c)
+    out, _ = _apply(yr, mu, rstd, gamma.astype(jnp.float32),
+                    beta.astype(jnp.float32), c)
     return out, mu, var
 
 
-def _fused_fwd(yp, gamma, beta, p):
+def _fused_fwd(yr, gamma, beta):
     c = gamma.shape[0]
-    mu, var = _stats(yp, p, c)
+    mu, var = _stats(yr, c)
     rstd = jax.lax.rsqrt(var + _EPS)
-    out, sel = _apply(yp, mu, rstd, gamma.astype(jnp.float32),
-                      beta.astype(jnp.float32), p, c)
-    return (out, mu, var), (yp, sel, mu, rstd, gamma, beta)
+    out, sel = _apply(yr, mu, rstd, gamma.astype(jnp.float32),
+                      beta.astype(jnp.float32), c)
+    return (out, mu, var), (yr, sel, mu, rstd, gamma, beta)
 
 
-def _fused_bwd(p, res, cts):
-    from functools import partial
-
-    yp, sel, mu, rstd, gamma, beta = res
+def _fused_bwd(res, cts):
+    yr, sel, mu, rstd, gamma, beta = res
     gamma32 = gamma.astype(jnp.float32)
     beta32 = beta.astype(jnp.float32)
     g_out, g_mu, g_var = cts
-    m, l4 = yp.shape
-    c = l4 // (4 * p)
-    lo = p * c
-    it = yp.dtype.itemsize
+    m, l4 = yr.shape
+    c = l4 // 4
+    it = yr.dtype.itemsize
 
-    r = _row_block(m, _pad_lanes(lo) * (4 * it + 6 * 4))
+    r = _row_block(m, _pad_lanes(c) * (4 * it + 6 * 4))
     sums = pl.pallas_call(
         _bwd_reduce_kernel,
         grid=(m // r,),
-        in_specs=[pl.BlockSpec((r, lo), lambda i: (i, 0))] * 2
-        + [_chan_spec(lo)] * 4,
-        out_specs=pl.BlockSpec((2, lo), lambda i: (0, 0)),
-        out_shape=jax.ShapeDtypeStruct((2, lo), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((2, lo), jnp.float32)],
+        in_specs=[pl.BlockSpec((r, c), lambda i: (i, 0))] * 2
+        + [_chan_spec(c)] * 4,
+        out_specs=pl.BlockSpec((2, c), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((2, c), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, c), jnp.float32)],
         compiler_params=_compiler_params(),
         interpret=_interpret(),
-    )(g_out, sel, _tile_lanes(mu, p), _tile_lanes(rstd, p),
-      _tile_lanes(gamma32, p), _tile_lanes(beta32, p))
-    per_chan = jnp.sum(sums.reshape(2, p, c), axis=1)
-    s1, s2 = per_chan[0], per_chan[1]
+    )(g_out, sel, mu.reshape(1, c), rstd.reshape(1, c),
+      gamma32.reshape(1, c), beta32.reshape(1, c))
+    s1, s2 = sums[0], sums[1]
 
-    ntot = jnp.float32(4 * m * p)  # per-channel element count == 4*N
+    ntot = jnp.float32(m * 4)  # per-channel element count == 4 * pooled N
     g_mu = g_mu.astype(jnp.float32)
     g_var = g_var.astype(jnp.float32)
     k = jnp.stack([
-        gamma32 * s1 / ntot,
-        gamma32 * s2 / ntot,
-        g_mu / ntot - 2.0 * g_var * mu / ntot,
-        2.0 * g_var / ntot,
+        _tile_lanes(gamma32 * s1 / ntot, 4)[0],
+        _tile_lanes(gamma32 * s2 / ntot, 4)[0],
+        _tile_lanes(g_mu / ntot - 2.0 * g_var * mu / ntot, 4)[0],
+        _tile_lanes(2.0 * g_var / ntot, 4)[0],
     ])
 
-    # y in x2 + dy out x2 + g/sel x2 each + full-lane fp32 temps, padded
-    r = _row_block(m, _pad_lanes(l4) * (4 * it + 4)
-                   + _pad_lanes(lo) * (4 * it + 8 * 4))
+    # y block x2 + dy out x2 + ~8 full-lane fp32 temps + g/sel x2 each
+    r = _row_block(m, _pad_lanes(l4) * (4 * it + 8 * 4)
+                   + _pad_lanes(c) * 4 * it)
     dy = pl.pallas_call(
-        partial(_bwd_dy_kernel, p),
+        partial(_bwd_dy_kernel, c),
         grid=(m // r,),
         in_specs=[pl.BlockSpec((r, l4), lambda i: (i, 0)),
-                  pl.BlockSpec((r, lo), lambda i: (i, 0)),
-                  pl.BlockSpec((r, lo), lambda i: (i, 0)),
-                  _chan_spec(c), _chan_spec(c),
-                  pl.BlockSpec((4, c), lambda i: (0, 0))]
-        + [_chan_spec(lo)] * 4,
+                  pl.BlockSpec((r, c), lambda i: (i, 0)),
+                  pl.BlockSpec((r, c), lambda i: (i, 0))]
+        + [_chan_spec(c)] * 4
+        + [_chan_spec(l4)] * 2
+        + [pl.BlockSpec((4, l4), lambda i: (0, 0))],
         out_specs=pl.BlockSpec((r, l4), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((m, l4), yp.dtype),
+        out_shape=jax.ShapeDtypeStruct((m, l4), yr.dtype),
         compiler_params=_compiler_params(),
         interpret=_interpret(),
-    )(yp, g_out, sel, mu.reshape(1, c), rstd.reshape(1, c), k,
-      _tile_lanes(mu, p), _tile_lanes(rstd, p), _tile_lanes(gamma32, p),
-      _tile_lanes(beta32, p))
+    )(yr, g_out, sel, mu.reshape(1, c), rstd.reshape(1, c),
+      gamma32.reshape(1, c), beta32.reshape(1, c),
+      _tile_lanes(mu, 4), _tile_lanes(rstd, 4), k)
 
     dgamma = s2.astype(gamma.dtype)
     dbeta = s1.astype(beta.dtype)
@@ -394,9 +386,8 @@ def fused_bn_phasemax_leaky(
     b, t, h, w, c4 = y.shape
     c = c4 // 4
     n = b * t * h * w
-    p = _pack(c, n)
-    yp = y.reshape(n // p, p * c4)  # row-major bitcast, no data movement
-    out, mu, var = _fused_core(yp, gamma, beta, p)
+    yr = y.reshape(n, c4)  # merge leading dims only — a free view
+    out, mu, var = _fused_core(yr, gamma, beta)
     return out.reshape(b, t, h, w, c), mu, var
 
 

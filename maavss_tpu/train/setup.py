@@ -122,6 +122,28 @@ def load_pgram_store(cfg: RunConfig) -> Optional[FrameShardStore]:
     return FrameShardStore(d)
 
 
+def resolve_lr(cfg: RunConfig):
+    """--lr_schedule: a float (constant — reference parity, train.py:55) or
+    an optax schedule over the run's total optimizer steps. A quality lever
+    the reference lacks (its Adam runs flat for the whole run)."""
+    if cfg.lr_schedule == "constant":
+        return cfg.learning_rate
+    total = cfg.epochs * cfg.steps_per_epoch
+    import optax
+
+    if cfg.lr_schedule == "cosine":
+        return optax.cosine_decay_schedule(
+            cfg.learning_rate, decay_steps=max(total, 1),
+            alpha=cfg.lr_final_scale)
+    if cfg.lr_schedule == "warmup_cosine":
+        warm = cfg.warmup_steps or max(total // 20, 1)
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=cfg.learning_rate,
+            warmup_steps=warm, decay_steps=max(total, warm + 1),
+            end_value=cfg.learning_rate * cfg.lr_final_scale)
+    raise SystemExit(f"unknown --lr_schedule {cfg.lr_schedule}")
+
+
 def _flat_opt(cfg: RunConfig) -> bool:
     """--fused_opt gate: the flat moment buffers cannot shard per-leaf over
     the 'model' axis (parallel/mesh.shard_state's shape rule), so the
@@ -196,7 +218,7 @@ def build_fusion(cfg: RunConfig, batch_size: int,
     )
     variables = jit_init(model, model.stft_shape, model.pgram_shape,
                          seed=cfg.seed, method=model.init_all)
-    tx = make_optimizer(cfg.learning_rate, optimizer, trainable=trainable,
+    tx = make_optimizer(resolve_lr(cfg), optimizer, trainable=trainable,
                         params=variables["params"], flat=_flat_opt(cfg),
                         kernel=_opt_kernel(cfg, trainable, optimizer))
     return model, create_train_state(variables, tx)
@@ -219,7 +241,7 @@ def build_frames_model(cfg: RunConfig, batch_size: int, frame_size: int,
     )
     variables = jit_init(model, model.stft_shape, model.frame_shape,
                          seed=cfg.seed, method=model.init_all)
-    tx = make_optimizer(cfg.learning_rate, "adam", flat=_flat_opt(cfg),
+    tx = make_optimizer(resolve_lr(cfg), "adam", flat=_flat_opt(cfg),
                         kernel=_opt_kernel(cfg))
     return model, create_train_state(variables, tx)
 

@@ -58,7 +58,7 @@ def trainable_labels(params: Any, trainable_prefixes: Sequence[str]) -> Any:
 
 
 def make_optimizer(
-    learning_rate: float,
+    learning_rate,  # float, or an optax schedule (step -> lr)
     name: str = "adam",
     trainable: Optional[Sequence[str]] = None,
     params: Optional[Any] = None,
@@ -75,6 +75,11 @@ def make_optimizer(
     add; incompatible with the trainable mask and with `flat`."""
     if kernel not in ("xla", "pallas"):
         raise ValueError(f"unknown optimizer kernel {kernel}")
+    scheduled = callable(learning_rate)
+    if scheduled and (flat or kernel == "pallas"):
+        raise ValueError("--lr_schedule != constant needs the standard optax "
+                         "path (the fused flat/pallas kernels bake a scalar "
+                         "LR); drop --fused_opt / --opt_kernel pallas")
     if kernel == "pallas":
         if name != "adam":
             raise ValueError("--opt_kernel pallas supports adam only")

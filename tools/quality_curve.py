@@ -42,6 +42,10 @@ def main() -> None:
     from maavss_tpu.config import model_args
 
     cfg = model_args(rest)
+    if cfg.lr_schedule != "constant":
+        # the schedule's horizon is epochs*steps_per_epoch (train/setup.py:
+        # resolve_lr); pin it to this run's actual step count
+        cfg = cfg.replace(epochs=1, steps_per_epoch=own.steps)
 
     import jax
     import jax.numpy as jnp
