@@ -65,6 +65,7 @@ def _build_fusion(cfg, batch_size):
         rnn_unroll=int(os.environ.get("MAAVSS_BENCH_UNROLL", "1")),
         mask_head=os.environ.get("MAAVSS_BENCH_MASK_HEAD", "0") == "1",
         pgenc_kernel=os.environ.get("MAAVSS_BENCH_PGENC", "auto"),
+        stft_fold=os.environ.get("MAAVSS_BENCH_STFT_FOLD", "auto"),
     )
     from maavss_tpu.train.setup import jit_init
 
@@ -278,6 +279,7 @@ def main() -> None:
         "fused_opt": os.environ.get("MAAVSS_BENCH_FUSED_OPT", "0") == "1",
         "opt_kernel": os.environ.get("MAAVSS_BENCH_OPT_KERNEL", "xla"),
         "pgenc_kernel": os.environ.get("MAAVSS_BENCH_PGENC", "auto"),
+        "stft_fold": os.environ.get("MAAVSS_BENCH_STFT_FOLD", "auto"),
         "frames_encode": os.environ.get("MAAVSS_BENCH_FRAMES_ENCODE", "window"),
         "epilogue": os.environ.get("MAAVSS_EPILOGUE", "auto"),
         "host_load": host_load,

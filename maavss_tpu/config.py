@@ -123,6 +123,11 @@ class RunConfig:
     #   1.26 ms speed-of-light). 'auto' resolves per backend to the measured
     #   winner (train/setup.py:_opt_kernel). Incompatible with staged
     #   trainable-prefix training, --fused_opt, and --mesh_model > 1.
+    stft_fold: str = "auto"  # STFT-encoder (enc_a) execution:
+    #   auto|xla|fold. 'fold' lane-folds the k(5,5) stack's minormost
+    #   frequency axis (layers.FoldedConvStack5x5; exact math, same param
+    #   tree) — the enc_a counterpart of pgenc fold. 'auto' = per-backend
+    #   measured winner.
     pgenc_kernel: str = "auto"  # phasegram-encoder execution:
     #   auto|xla|pallas|fold. 'auto' resolves per backend to the measured
     #   winner: 'fold' on TPU (+10.7% end-to-end, BASELINE.md round 4c),
@@ -298,6 +303,10 @@ def build_parser(parser: Optional[argparse.ArgumentParser] = None) -> argparse.A
                    help="adam update execution: fused per-leaf Pallas kernel "
                         "or XLA's optax chain (auto = measured per-backend "
                         "winner)")
+    p.add_argument("--stft_fold", type=str, default="auto",
+                   choices=("auto", "xla", "fold"),
+                   help="STFT-encoder execution: lane-folded exact form "
+                        "(128-lane-dense activations) vs plain ConvStack")
     p.add_argument("--pgenc_kernel", type=str, default="auto",
                    choices=("auto", "xla", "pallas", "fold"),
                    help="phasegram-encoder execution: auto (per-backend "

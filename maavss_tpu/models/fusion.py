@@ -25,6 +25,7 @@ from flax import linen as nn
 from maavss_tpu.models.layers import (
     ConvStack,
     FoldedConvStack1x9,
+    FoldedConvStack5x5,
     PallasConvStack1x9,
     make_birnn,
 )
@@ -66,6 +67,13 @@ class AVFusionModel(nn.Module):
     # raises on TPU (documented gate, not a crash deep in Mosaic) and stays
     # available off-TPU where interpret mode serves the parity tests.
     pgenc_kernel: str = "auto"
+    # STFT-encoder execution: 'auto' | 'fold' | 'xla'. 'fold' runs the
+    # k(5,5) stack with its minormost (frequency) axis lane-folded
+    # (layers.FoldedConvStack5x5) — exact math, identical param tree; the
+    # same padding-tax fix as pgenc fold applied to enc_a (1.2 GB at 29%
+    # HBM / 11% MXU, BASELINE.md round 3c). 'auto' resolves per backend to
+    # the measured winner.
+    stft_fold: str = "auto"
 
     def setup(self):
         pg_enc, pg_hw = plan_phasegram_encoder(
@@ -115,7 +123,19 @@ class AVFusionModel(nn.Module):
                 f"unknown pgenc_kernel {self.pgenc_kernel!r} "
                 "(auto|xla|pallas|fold)")
         self.phasegram_decoder = ConvStack(tuple(pg_dec), dtype=self.dtype)
-        self.stft_encoder = ConvStack(tuple(a_enc), dtype=self.dtype)
+        stft_fold = self.stft_fold
+        if stft_fold == "auto":
+            # 'fold' pending its on-chip A/B (tools/relay_queue_r4e.sh);
+            # flip here when BASELINE.md records the win, like pgenc fold
+            stft_fold = "xla"
+        if stft_fold == "fold":
+            self.stft_encoder = FoldedConvStack5x5(
+                tuple(a_enc), dtype=self.dtype)
+        elif stft_fold == "xla":
+            self.stft_encoder = ConvStack(tuple(a_enc), dtype=self.dtype)
+        else:
+            raise ValueError(
+                f"unknown stft_fold {self.stft_fold!r} (auto|xla|fold)")
         self.stft_decoder = ConvStack(tuple(a_dec), dtype=self.dtype)
 
         self.lstm = make_birnn(self.rnn_cell, 256, use_bias=False,

@@ -303,6 +303,104 @@ class FoldedConvStack1x9(nn.Module):
         return jnp.moveaxis(h, -1, 1)  # NHWC -> NCHW
 
 
+class FoldedConvStack5x5(nn.Module):
+    """Drop-in replacement for ConvStack on the planned STFT-encoder stacks
+    (conv(5,5)/stride{1,2}x{1,2}/pad(2,2) + BN + tanh, avse_model.py:474-502),
+    executing every conv with its minormost (frequency) axis LANE-FOLDED
+    (ops/pgenc_fold.py fold_kernel_minor): S-positions fold into the channel
+    dim so tensors stay 128-lane dense. The direct stack runs at 2/8/32
+    channels — each tile padded to 128 lanes — and enc_a moves 1.2 GB at
+    29% HBM / 11% MXU in the fusion step (BASELINE.md round 3c); this is
+    the same padding-tax fix that won +10.7% end-to-end on the phasegram
+    encoder (round 4c).
+
+    Exact math (the folded kernel is a gather of the original parameter;
+    tests/test_stft_fold.py), and the parameter/batch_stats trees are
+    IDENTICAL to ConvStack's, so checkpoints interchange and --stft_fold is
+    a pure compute-path switch. Unlike the (1,9) stack, strides vary per
+    layer and per axis (the plan halves T and S independently toward the
+    phasegram latent); only the minormost S axis folds — T convolves
+    normally."""
+
+    specs: Tuple[ConvSpec, ...]
+    dtype: jnp.dtype = jnp.float32
+    use_bias: bool = True
+    lane_target: int = 128
+
+    def _check(self):
+        for spec in self.specs:
+            ok = (not spec.transpose and spec.kernel == (5, 5)
+                  and spec.padding == (2, 2)
+                  and spec.stride[0] in (1, 2) and spec.stride[1] in (1, 2)
+                  and spec.norm and spec.act == "tanh")
+            if not ok:
+                raise ValueError(
+                    f"FoldedConvStack5x5 supports only the planned "
+                    f"(5,5)/p(2,2)+BN+tanh layers, got {spec}")
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        from maavss_tpu.ops.pgenc_fold import (
+            fold_lanes,
+            folded_conv2d_minor,
+            plan_folds_minor,
+            unfold_lanes,
+        )
+
+        self._check()
+        b, c, t, s = x.shape
+        widths, strides = [], []
+        w = s
+        for sp in self.specs:
+            widths.append(w)
+            strides.append(sp.stride[1])
+            w //= sp.stride[1]
+        folds = plan_folds_minor([sp.in_ch for sp in self.specs], widths,
+                                 strides, self.lane_target)
+        h = jnp.moveaxis(x, 1, -1).astype(self.dtype)  # NCHW -> NHWC
+        for i, (spec, f) in enumerate(zip(self.specs, folds)):
+            kernel, cbias = _ConvParams(
+                spec.out_ch, spec.in_ch, spec.kernel, self.use_bias,
+                name=f"Conv_{i}")()
+            scale, bias, ra_mean, ra_var = _BNHolder(
+                spec.out_ch, name=f"TorchBatchNorm_{i}")()
+            if f > 1:
+                y = folded_conv2d_minor(fold_lanes(h, f),
+                                        kernel.astype(self.dtype), f,
+                                        spec.stride)
+                f_out = f // spec.stride[1]
+            else:
+                y = jax.lax.conv_general_dilated(
+                    h, kernel.astype(self.dtype),
+                    window_strides=spec.stride,
+                    padding=((2, 2), (2, 2)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                f_out = 1
+            if cbias is not None:
+                y = y + jnp.tile(cbias, f_out).astype(y.dtype)
+            # BN(train/eval) + tanh in the folded view: per-channel over the
+            # f_out lane groups (stats in fp32, flax convention)
+            *lead, wf, _ = y.shape
+            yv = y.reshape(*lead, wf, f_out, spec.out_ch)
+            if train:
+                yf = yv.astype(jnp.float32)
+                axes = tuple(range(yf.ndim - 1))
+                mu = jnp.mean(yf, axis=axes)
+                var = jnp.mean(jnp.square(yf), axis=axes) - jnp.square(mu)
+                if not self.is_initializing():
+                    ra_mean.value = 0.9 * ra_mean.value + 0.1 * mu
+                    ra_var.value = 0.9 * ra_var.value + 0.1 * var
+            else:
+                mu, var = ra_mean.value, ra_var.value
+            yn = (yv - mu.astype(yv.dtype)) * jax.lax.rsqrt(
+                var + 1e-5).astype(yv.dtype)
+            yn = yn * scale.astype(yv.dtype) + bias.astype(yv.dtype)
+            yn = jnp.tanh(yn)
+            h = unfold_lanes(yn.reshape(*lead, wf, f_out * spec.out_ch),
+                             f_out, spec.out_ch)
+        return jnp.moveaxis(h, -1, 1)  # NHWC -> NCHW
+
+
 class Conv3dDepthTaps(nn.Module):
     """Exact replacement for `nn.Conv` with a (KD, KH, KW) kernel at stride 1
     on NDHWC input, computed as KD shifted 2-D convolutions summed over the

@@ -224,11 +224,15 @@ def _bwd_dy_kernel(c, y_ref, g_ref, sel_ref, mu_c_ref, rstd_c_ref,
     dsg = g * jnp.where(o_bn >= 0, 1.0, _SLOPE) * gamma_c_ref[:]  # [R, C]
     sel4 = jnp.concatenate([sel] * 4, axis=-1)  # [R, 4C]
     dsg4 = jnp.concatenate([dsg] * 4, axis=-1)
-    eq = y == sel4
-    prefix = jnp.logical_or(
-        jnp.logical_or(_shr(eq, c), _shr(eq, 2 * c)), _shr(eq, 3 * c))
-    hit = jnp.logical_and(eq, jnp.logical_not(prefix))
-    dxhat = jnp.where(hit, dsg4, 0.0)
+    # first-match routing in fp32 MASKS: padding an i1 vector dies in the
+    # Mosaic backend ("Invalid vector register cast", vector<8x128xi1> ->
+    # i32 bitcast — runs/probe_r4d/validate_epilogue.err; invisible to
+    # cross-lowering CI), so the prefix-OR over earlier phase groups runs
+    # as shifted 0/1 float adds instead of shifted bools.
+    eq_f = jnp.where(y == sel4, 1.0, 0.0)
+    prefix = _shr(eq_f, c) + _shr(eq_f, 2 * c) + _shr(eq_f, 3 * c)
+    hit_f = eq_f * jnp.maximum(0.0, 1.0 - prefix)
+    dxhat = dsg4 * hit_f
     xhat = (y - mu_l_ref[:]) * rstd_l_ref[:]
     k1 = k_ref[0:1, :]
     k2 = k_ref[1:2, :]

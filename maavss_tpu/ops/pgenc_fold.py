@@ -99,6 +99,81 @@ def folded_conv_1x9_s2(
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
+def fold_geometry_minor(f_in: int, k: int, stride: int,
+                        pad: int) -> Tuple[int, int]:
+    """(d_min, d_max) folded-block tap offsets for a width-k stride-`stride`
+    conv with symmetric zero padding `pad`, folding the minormost axis by
+    f_in (output fold f_in/stride). Generalizes _fold_geometry (k=9, s=2,
+    p=4): output w = f_out*w' + s reads input x[stride*w + j - pad], i.e.
+    folded block w' + d, lane slot q with f_in*d + q = stride*s + j - pad."""
+    assert f_in >= stride and f_in % stride == 0, (f_in, stride)
+    f_out = f_in // stride
+    d_min = -((pad + f_in - 1) // f_in)
+    d_max = (stride * (f_out - 1) + k - 1 - pad) // f_in
+    return d_min, d_max
+
+
+def fold_kernel_minor(kernel: jnp.ndarray, f_in: int,
+                      stride: int) -> jnp.ndarray:
+    """[KH, KW, Cin, Cout] -> [KH, KWF, f_in*Cin, (f_in/stride)*Cout] folded
+    kernel for the minormost (W) axis, torch symmetric padding (KW-1)//2.
+    Entry (d, q, s) carries original tap j = f_in*d + q - stride*s + pad
+    when 0 <= j < KW, else zero (slot KW of the extended gather)."""
+    kh, kw, cin, cout = kernel.shape
+    pad = (kw - 1) // 2
+    f_out = f_in // stride
+    d_min, d_max = fold_geometry_minor(f_in, kw, stride, pad)
+    kwf = d_max - d_min + 1
+    d = np.arange(kwf)[:, None, None] + d_min
+    q = np.arange(f_in)[None, :, None]
+    s = np.arange(f_out)[None, None, :]
+    j = f_in * d + q - stride * s + pad
+    j = np.where((j >= 0) & (j < kw), j, kw)  # kw = zero slot
+    k_ext = jnp.concatenate(
+        [kernel, jnp.zeros((kh, 1, cin, cout), kernel.dtype)], axis=1)
+    kf = jnp.take(k_ext, jnp.asarray(j), axis=1)  # [KH,KWF,f_in,f_out,Ci,Co]
+    kf = jnp.transpose(kf, (0, 1, 2, 4, 3, 5))    # [KH,KWF,q,Ci,s,Co]
+    return kf.reshape(kh, kwf, f_in * cin, f_out * cout)
+
+
+def folded_conv2d_minor(
+    h: jnp.ndarray, kernel: jnp.ndarray, f_in: int,
+    stride_hw: Tuple[int, int]
+) -> jnp.ndarray:
+    """Folded 2D conv on h [B, H, W/f_in, f_in*Cin] with the ORIGINAL
+    [KH, KW, Cin, Cout] kernel (torch symmetric padding on both axes);
+    returns [B, H', W/f_in, (f_in/stride_w)*Cout] ==
+    fold_lanes(conv(unfold(h)), f_in/stride_w). Only the minormost axis is
+    folded; H convolves normally (stride_hw[0], pad (KH-1)//2)."""
+    kh, kw = kernel.shape[:2]
+    st, sw = stride_hw
+    pad_h = (kh - 1) // 2
+    d_min, d_max = fold_geometry_minor(f_in, kw, sw, (kw - 1) // 2)
+    kf = fold_kernel_minor(kernel, f_in, sw)
+    return jax.lax.conv_general_dilated(
+        h, kf, window_strides=(st, 1),
+        padding=((pad_h, pad_h), (-d_min, d_max)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def plan_folds_minor(channel_seq: Sequence[int], widths: Sequence[int],
+                     strides: Sequence[int],
+                     lane_target: int = 128) -> List[int]:
+    """Per-layer input folds for a general minormost-folded stack: the
+    largest power-of-two f with f*C <= lane_target that divides the layer's
+    input width and is a multiple of its stride (1 = no fold)."""
+    folds = []
+    for c, w, s in zip(channel_seq, widths, strides):
+        f = max(1, lane_target // c)
+        f = 1 << (f.bit_length() - 1)  # pow2 floor
+        while f > 1 and (w % f or f % s or f > w):
+            f //= 2
+        if f % s:
+            f = 1  # cannot fold below the stride
+        folds.append(f)
+    return folds
+
+
 def plan_folds(channel_seq: Sequence[int], s0: int,
                lane_target: int = 128) -> List[int]:
     """Per-layer input folds f_i for a k(1,9)/s(1,2) stack with input widths

@@ -215,6 +215,7 @@ def build_fusion(cfg: RunConfig, batch_size: int,
         dtype=jnp.dtype(cfg.dtype),
         rnn_cell=cfg.rnn_cell, rnn_unroll=cfg.rnn_unroll,
         mask_head=cfg.mask_head, pgenc_kernel=cfg.pgenc_kernel,
+        stft_fold=cfg.stft_fold,
     )
     variables = jit_init(model, model.stft_shape, model.pgram_shape,
                          seed=cfg.seed, method=model.init_all)
