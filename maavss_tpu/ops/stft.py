@@ -22,8 +22,18 @@ Deviations from the reference (documented):
   av_dataset.py:190); ours implements it correctly.
 
 Everything is pure jnp: batched over arbitrary leading dims, differentiable,
-and fuses under jit. Framing is a strided gather; the FFT runs on the XLA TPU
-FFT; no per-item host code remains in the hot path.
+and fuses under jit. Two mathematically identical forward executions
+(MAAVSS_STFT_IMPL=gather|conv|auto):
+
+- 'gather': framing as a strided gather + XLA's FFT (the original form). The
+  gather materializes a ~7.8x-expanded framed copy of the audio
+  (fft_len/hop overlap) and its backward is a scatter-add.
+- 'conv': ONE strided convolution on the MXU — the window and the real-DFT
+  basis are baked into a [fft_len, 1, 2F] filter bank, stride = hop, audio
+  reflect-padded like torch.stft. No framed copy, no scatter in the
+  backward (conv dgrad), and the 512-deep contraction is systolic-array
+  food instead of HBM traffic. Same values up to fp32 summation order
+  (precision=HIGHEST).
 """
 
 from __future__ import annotations
@@ -61,6 +71,56 @@ def num_stft_frames(num_samples: int, hop: int) -> int:
     return 1 + num_samples // hop
 
 
+def _stft_impl() -> str:
+    """Forward STFT execution: 'gather' (strided gather + XLA FFT) or 'conv'
+    (one strided MXU convolution, window+DFT baked into the filters —
+    identical math, see module docstring). 'auto' resolves per backend to
+    the measured winner; trace-time env override MAAVSS_STFT_IMPL."""
+    import os
+
+    v = os.environ.get("MAAVSS_STFT_IMPL", "auto")
+    if v in ("gather", "conv"):
+        return v
+    if v != "auto":
+        raise ValueError(f"MAAVSS_STFT_IMPL={v!r} (auto|gather|conv)")
+    # 'conv' pending its on-chip A/B (tools/relay_queue_r4f.sh); flip here
+    # when BASELINE.md records the win
+    return "gather"
+
+
+def _dft_filters(window: jnp.ndarray, fft_len: int) -> jnp.ndarray:
+    """[fft_len, 1, 2F] real-DFT filter bank (rfft convention:
+    X[k] = sum_n x[n] exp(-2*pi*i*n*k/N)), window pre-multiplied, so
+    conv(audio, filters, stride=hop) == rfft(frames * window) stacked as
+    (re | im) along the feature axis."""
+    import numpy as np
+
+    f = fft_len // 2 + 1
+    n = np.arange(fft_len, dtype=np.float64)[:, None]
+    k = np.arange(f, dtype=np.float64)[None, :]
+    ang = -2.0 * np.pi * n * k / fft_len
+    basis = np.concatenate([np.cos(ang), np.sin(ang)], axis=1)  # [N, 2F]
+    filt = jnp.asarray(basis, jnp.float32) * window.astype(jnp.float32)[:, None]
+    return filt[:, None, :]  # [W, I=1, O=2F]
+
+
+def _stft_conv(audio: jnp.ndarray, fft_len: int, hop: int,
+               window: jnp.ndarray, center: bool) -> jnp.ndarray:
+    """Complex STFT [..., T, F] via one strided conv (math == gather+rfft)."""
+    lead = audio.shape[:-1]
+    x = audio.astype(jnp.float32).reshape(-1, audio.shape[-1], 1)
+    if center:
+        pad = fft_len // 2
+        x = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)), mode="reflect")
+    y = jax.lax.conv_general_dilated(
+        x, _dft_filters(window, fft_len), window_strides=(hop,),
+        padding="VALID", dimension_numbers=("NWC", "WIO", "NWC"),
+        precision=jax.lax.Precision.HIGHEST)  # [B, T, 2F]
+    f = fft_len // 2 + 1
+    spec = jax.lax.complex(y[..., :f], y[..., f:])
+    return spec.reshape(lead + spec.shape[1:])
+
+
 def frame_signal(audio: jnp.ndarray, frame_len: int, hop: int, center: bool = True) -> jnp.ndarray:
     """Slice `audio[..., samples]` into overlapping frames `[..., T, frame_len]`.
 
@@ -94,9 +154,12 @@ def stft(
     """
     if window is None:
         window = hamming_window(fft_len, dtype=audio.dtype)
-    frames = frame_signal(audio, fft_len, hop, center=center)
-    frames = frames * window
-    spec = jnp.fft.rfft(frames, n=fft_len, axis=-1)
+    if _stft_impl() == "conv":
+        spec = _stft_conv(audio, fft_len, hop, window, center)
+    else:
+        frames = frame_signal(audio, fft_len, hop, center=center)
+        frames = frames * window
+        spec = jnp.fft.rfft(frames, n=fft_len, axis=-1)
     if normalized:
         spec = spec / jnp.sqrt(jnp.sum(window.astype(jnp.float32) ** 2))
     return spec
