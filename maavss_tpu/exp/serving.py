@@ -272,6 +272,14 @@ def make_handler(executor: BatchingExecutor, info: Dict[str, Any],
     return Handler
 
 
+class _Server(ThreadingHTTPServer):
+    # stdlib default backlog is 5: 32 concurrent clients overflow it and the
+    # kernel RSTs the excess connections (measured: runs/probe_r4d/
+    # daemon32_r1c32 — every client saw ECONNRESET). Deep enough for any
+    # sane fan-in; the batching executor is the real admission control.
+    request_queue_size = 256
+
+
 class SeparationServer:
     """ThreadingHTTPServer wrapper: serve_forever on a thread, clean stop."""
 
@@ -279,7 +287,7 @@ class SeparationServer:
                  host: str = "127.0.0.1", port: int = 8423,
                  request_timeout_s: float = 120.0):
         self.executor = executor
-        self.httpd = ThreadingHTTPServer(
+        self.httpd = _Server(
             (host, port), make_handler(executor, info, request_timeout_s))
         self.httpd.daemon_threads = True
         self._thread = threading.Thread(target=self.httpd.serve_forever,
