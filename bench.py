@@ -280,8 +280,11 @@ def main() -> None:
         "opt_kernel": os.environ.get("MAAVSS_BENCH_OPT_KERNEL", "xla"),
         "pgenc_kernel": os.environ.get("MAAVSS_BENCH_PGENC", "auto"),
         "stft_fold": os.environ.get("MAAVSS_BENCH_STFT_FOLD", "auto"),
+        "stft_impl": os.environ.get("MAAVSS_STFT_IMPL", "auto"),
         "frames_encode": os.environ.get("MAAVSS_BENCH_FRAMES_ENCODE", "window"),
         "epilogue": os.environ.get("MAAVSS_EPILOGUE", "auto"),
+        "remat": (os.environ.get("MAAVSS_BENCH_REMAT", "0") == "1")
+        and (os.environ.get("MAAVSS_REMAT_POLICY", "full")),
         "host_load": host_load,
         "host_contended": host_load > 1.6,
     }))

@@ -125,8 +125,13 @@ class AVFusionModel(nn.Module):
         self.phasegram_decoder = ConvStack(tuple(pg_dec), dtype=self.dtype)
         stft_fold = self.stft_fold
         if stft_fold == "auto":
-            # 'fold' pending its on-chip A/B (tools/relay_queue_r4e.sh);
-            # flip here when BASELINE.md records the win, like pgenc fold
+            # Measured on a v5e (BASELINE.md round 4e/4f): fold LOSES here —
+            # 13,178 vs 14,452 clips/s/chip end-to-end (and 13,364 when
+            # combined with conv-STFT). Unlike the 1..32-channel phasegram
+            # encoder, enc_a's k(5,5) stacks start at 64 channels where the
+            # lane padding tax fold removes is already small, and the fold's
+            # halo arithmetic costs more than it saves. auto = xla everywhere;
+            # --stft_fold fold remains available (exact same math).
             stft_fold = "xla"
         if stft_fold == "fold":
             self.stft_encoder = FoldedConvStack5x5(

@@ -77,9 +77,13 @@ class FramesVisualEncoder(nn.Module):
             epilogue = os.environ.get("MAAVSS_EPILOGUE", "auto")
         if epilogue == "auto":
             # fused Pallas BN+phase-max+leaky epilogue on the s2d stages
-            # (ops/pallas_epilogue.py, targeting the measured 42-of-63-ms
-            # XLA epilogue, BASELINE.md round 3j). auto stays 'xla' until
-            # the on-chip A/B lands — flip here with the numbers.
+            # (ops/pallas_epilogue.py). Three designs measured on a v5e, all
+            # LOSE to XLA's epilogue (BASELINE.md rounds 4b/4c/4e): v3's
+            # native-layout lane shifts still run the phase max at VPU
+            # sub-lane speed (stage-2 fwd+bwd 60.3 vs 52.9 ms; stage-1 fwd
+            # 50.9 vs 11.3 ms) and the end-to-end frames step OOMs HBM at
+            # b256 (the kernel's saved residuals defeat XLA's rematerializer).
+            # auto = xla; 'fused' stays available for future Mosaic releases.
             epilogue = "xla"
         if conv_impl not in ("direct", "taps", "s2d", "tfold"):
             raise ValueError(f"unknown conv3d impl {conv_impl}")

@@ -83,9 +83,11 @@ def _stft_impl() -> str:
         return v
     if v != "auto":
         raise ValueError(f"MAAVSS_STFT_IMPL={v!r} (auto|gather|conv)")
-    # 'conv' pending its on-chip A/B (tools/relay_queue_r4f.sh); flip here
-    # when BASELINE.md records the win
-    return "gather"
+    # Measured on a v5e (BASELINE.md round 4f): conv-STFT lifts the fusion
+    # step end-to-end 14,452 -> 14,670 clips/s/chip (+1.5%, spread 0.5%),
+    # so TPU resolves to 'conv'. CPU keeps 'gather' (the rfft beats a dense
+    # 512x514 matmul without an MXU to feed).
+    return "conv" if jax.default_backend() == "tpu" else "gather"
 
 
 def _dft_filters(window: jnp.ndarray, fft_len: int) -> jnp.ndarray:

@@ -25,6 +25,7 @@ over the *global* batch, matching reference single-device semantics.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -71,13 +72,30 @@ def _train_apply(model, remat: bool):
     """The train-mode forward used inside windowed grads; `remat` wraps it in
     jax.checkpoint so the backward recomputes activations instead of holding
     them (lifts the frames regime past its b128 HBM ceiling at ~1/3 extra
-    FLOPs). Gradients are bitwise-equivalent (tests/test_train_steps.py)."""
+    FLOPs). Gradients are bitwise-equivalent (tests/test_train_steps.py).
+
+    MAAVSS_REMAT_POLICY picks what checkpoint SAVES (trace-time env knob for
+    the memory-bound fusion regime, where the lever is HBM bytes, not FLOPs
+    — BASELINE.md round 4f: fullgrad at 98.3% of HBM speed-of-light):
+      full (default) — save nothing, recompute everything in the backward;
+      dots           — save MXU (dot/conv) outputs, recompute the
+                       elementwise chains (BN, leaky, reshapes) so their
+                       intermediates never round-trip HBM.
+    """
 
     def fwd(params, bstats, x_a, x_v):
         return model.apply({"params": params, "batch_stats": bstats},
                            x_a, x_v, train=True, mutable=["batch_stats"])
 
-    return jax.checkpoint(fwd) if remat else fwd
+    if not remat:
+        return fwd
+    policy = os.environ.get("MAAVSS_REMAT_POLICY", "full")
+    if policy == "full":
+        return jax.checkpoint(fwd)
+    if policy == "dots":
+        return jax.checkpoint(
+            fwd, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    raise ValueError(f"MAAVSS_REMAT_POLICY={policy!r} (full|dots)")
 
 
 

@@ -221,20 +221,31 @@ def test_remat_step_matches_plain():
     batch = jax.tree_util.tree_map(jnp.asarray, synthetic_av_batch(cfg, 2, seed=0))
     rng = jax.random.PRNGKey(0)
 
+    import os
+
     outs = {}
-    for remat in (False, True):
+    # (remat, MAAVSS_REMAT_POLICY): plain, save-nothing, save-dots — the
+    # policy picks what the backward recomputes, never the values
+    for key, remat, policy in (("plain", False, None), ("full", True, "full"),
+                               ("dots", True, "dots")):
         state = create_train_state(
             jax.tree_util.tree_map(jnp.copy, vs),
             make_optimizer(cfg.learning_rate, "adam"))
-        step = make_fusion_step(model, cfg.replace(remat=remat))
-        state, metrics = step(state, batch, rng, jnp.int32(2))
-        outs[remat] = (float(metrics["loss"]), state.params)
+        if policy is not None:
+            os.environ["MAAVSS_REMAT_POLICY"] = policy
+        try:
+            step = make_fusion_step(model, cfg.replace(remat=remat))
+            state, metrics = step(state, batch, rng, jnp.int32(2))
+        finally:
+            os.environ.pop("MAAVSS_REMAT_POLICY", None)
+        outs[key] = (float(metrics["loss"]), state.params)
 
-    assert outs[False][0] == pytest.approx(outs[True][0], rel=1e-6)
-    for a, b in zip(jax.tree_util.tree_leaves(outs[False][1]),
-                    jax.tree_util.tree_leaves(outs[True][1])):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-6, atol=1e-7)
+    for key in ("full", "dots"):
+        assert outs["plain"][0] == pytest.approx(outs[key][0], rel=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(outs["plain"][1]),
+                        jax.tree_util.tree_leaves(outs[key][1])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
 
 
 def test_frames_microbatch_matches_monolithic():
