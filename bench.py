@@ -119,6 +119,8 @@ def measure_jax_clips_per_sec(batch_size: int, steps: int = 50, warmup: int = 5,
                     microbatch=int(os.environ.get("MAAVSS_BENCH_MICROBATCH", "1")),
                     remat=os.environ.get("MAAVSS_BENCH_REMAT", "0") == "1",
                     frames_encode=os.environ.get("MAAVSS_BENCH_FRAMES_ENCODE",
+                                                 "window"),
+                    fusion_encode=os.environ.get("MAAVSS_BENCH_FUSION_ENCODE",
                                                  "window"))
     if regime == "frames":
         model, variables, make_step = _build_frames(cfg, batch_size)
@@ -282,6 +284,7 @@ def main() -> None:
         "stft_fold": os.environ.get("MAAVSS_BENCH_STFT_FOLD", "auto"),
         "stft_impl": os.environ.get("MAAVSS_STFT_IMPL", "auto"),
         "frames_encode": os.environ.get("MAAVSS_BENCH_FRAMES_ENCODE", "window"),
+        "fusion_encode": os.environ.get("MAAVSS_BENCH_FUSION_ENCODE", "window"),
         "epilogue": os.environ.get("MAAVSS_EPILOGUE", "auto"),
         "remat": (os.environ.get("MAAVSS_BENCH_REMAT", "0") == "1")
         and (os.environ.get("MAAVSS_REMAT_POLICY", "full")),

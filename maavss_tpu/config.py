@@ -105,6 +105,16 @@ class RunConfig:
     #   nf*num_seq -> nf+num_seq-1 frame-convs (~2.9x FLOP cut at the
     #   defaults). Deviations documented at train/steps.py:make_full_loss;
     #   identical when num_seq == 1.
+    fusion_encode: str = "window"  # fusion-regime encoders: window | full.
+    #   'window' (re-)encodes each of the num_seq overlapping windows
+    #   (reference semantics, train.py:123-162 — scan and vectorized modes
+    #   both); 'full' runs BOTH conv encoders ONCE over the whole
+    #   (num_frames+num_seq-1)-frame span and slices latent windows before
+    #   the LSTM+FC heads — the encoder input shrinks num_seq*num_frames ->
+    #   num_frames+num_seq-1 (~2.9x at the defaults) on a step that is
+    #   measured memory-bound at the HBM roofline (BASELINE.md round 4f).
+    #   Deviations documented at train/steps.py (same class as
+    #   frames_encode=full); identical when num_seq == 1.
     pgram_cache: bool = False  # fusion regimes read ingest-time phasegram
     #   cumsum rows (save_phasegrams.py -> <data_path>/pgrams-p<p_size>/)
     #   instead of computing fft2/angle/cumsum per step; rows ship float16
@@ -292,6 +302,13 @@ def build_parser(parser: Optional[argparse.ArgumentParser] = None) -> argparse.A
                         "window (reference semantics) or encode the full "
                         "frame sequence once and slice latent windows "
                         "(~2.9x fewer conv3d FLOPs; see config.py notes)")
+    p.add_argument("--fusion_encode", type=str, default="window",
+                   choices=("window", "full"),
+                   help="fusion-regime encoders: re-encode each sliding "
+                        "window (reference semantics) or encode the full "
+                        "sequence once and slice latent windows (~2.9x "
+                        "less encoder input on a memory-bound step; see "
+                        "config.py notes)")
     p.add_argument("--pgram_cache", action="store_true",
                    help="use precomputed phasegram rows from "
                         "save_phasegrams.py (fusion regimes)")

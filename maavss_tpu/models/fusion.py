@@ -180,16 +180,22 @@ class AVFusionModel(nn.Module):
         """Phasegram autoencoder path (avse_model.py:672-674)."""
         return self.phasegram_decoder(self.phasegram_encoder(x_v, train), train)
 
-    def __call__(
+    def encode_both(
         self, x_a: jnp.ndarray, x_v: jnp.ndarray, train: bool = False
-    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """(stft [B,2,T,F], pgram [B,1,Tf,p^2]) -> (ŷ_stft, ŷ_pgram, fused[B,512]).
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Run both conv encoders — shape-polymorphic in time, so
+        `--fusion_encode full` can feed the WHOLE (num_frames+num_seq-1)-frame
+        sequence once and slice latent windows (train/steps.py) instead of
+        re-encoding num_seq overlapping windows."""
+        return self.stft_encoder(x_a, train), self.phasegram_encoder(x_v, train)
 
-        Parity: avse_model.py:680-711 — heads are linear + LeakyReLU(0.3),
-        reshaped to the input shapes.
-        """
-        x_a_enc = self.stft_encoder(x_a, train)
-        x_v_enc = self.phasegram_encoder(x_v, train)
+    def heads_from_latents(
+        self, x_a_enc: jnp.ndarray, x_v_enc: jnp.ndarray, x_a: jnp.ndarray,
+        train: bool = False,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Window-shaped latents [B,C,t,s] + the window's (noisy) STFT input
+        -> (ŷ_stft, ŷ_pgram, fused). The head math of __call__, split out so
+        the full-encode step can batch all windows through it at once."""
         fused = self.av_fusion_forward(x_a_enc, x_v_enc)
         x_a_head = self.a_fc1(fused)
         if self.mask_head:
@@ -199,5 +205,16 @@ class AVFusionModel(nn.Module):
         else:
             x_a_out = nn.leaky_relu(x_a_head, negative_slope=0.3).reshape(x_a.shape)
         x_v_out = nn.leaky_relu(self.v_fc1(fused), negative_slope=0.3)
-        x_v_out = x_v_out.reshape(x_v.shape)
+        x_v_out = x_v_out.reshape((-1,) + tuple(self.pgram_shape[1:]))
         return x_a_out, x_v_out, fused
+
+    def __call__(
+        self, x_a: jnp.ndarray, x_v: jnp.ndarray, train: bool = False
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """(stft [B,2,T,F], pgram [B,1,Tf,p^2]) -> (ŷ_stft, ŷ_pgram, fused[B,512]).
+
+        Parity: avse_model.py:680-711 — heads are linear + LeakyReLU(0.3),
+        reshaped to the input shapes.
+        """
+        x_a_enc, x_v_enc = self.encode_both(x_a, x_v, train)
+        return self.heads_from_latents(x_a_enc, x_v_enc, x_a, train)

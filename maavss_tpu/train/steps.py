@@ -87,8 +87,12 @@ def _train_apply(model, remat: bool):
         return model.apply({"params": params, "batch_stats": bstats},
                            x_a, x_v, train=True, mutable=["batch_stats"])
 
-    if not remat:
-        return fwd
+    return _apply_remat(fwd) if remat else fwd
+
+
+def _apply_remat(fwd: Callable) -> Callable:
+    """jax.checkpoint with the MAAVSS_REMAT_POLICY save policy (see
+    _train_apply's docstring)."""
     policy = os.environ.get("MAAVSS_REMAT_POLICY", "full")
     if policy == "full":
         return jax.checkpoint(fwd)
@@ -301,6 +305,53 @@ def _microbatch_accumulate(
 # Fusion model (train.py / train_av_net.py regimes)
 # ---------------------------------------------------------------------------
 
+def _fusion_full_geometry(model, cfg: RunConfig) -> Tuple[int, int, int]:
+    """Latent-window geometry for --fusion_encode full: (hop_a, hop_v, t_win).
+
+    Re-derives the encoder plans (models/shape_plan.py — the same closed-form
+    planner the model's setup uses) to map the window hop from input time to
+    latent time. The STFT encoder's time-stride product divides
+    hops_per_frame at the reference geometry (both are the power-of-2
+    halving chain); anything else is rejected loudly rather than silently
+    mis-sliced."""
+    from maavss_tpu.models.shape_plan import (
+        conv_out,
+        plan_phasegram_encoder,
+        plan_stft_encoder_fusion,
+    )
+
+    a, nf, ns = cfg.hops_per_frame, cfg.num_frames, cfg.num_seq
+    pg_enc, pg_hw = plan_phasegram_encoder(
+        model.pgram_shape, model.latent_channels, model.fc_size)
+    a_enc, _ = plan_stft_encoder_fusion(
+        model.stft_shape, pg_hw, model.latent_channels)
+    t_win = pg_hw[0]  # == num_frames (the pgram encoder never strides time)
+
+    def sim_t(specs, t: int) -> int:
+        for sp in specs:
+            t = conv_out(t, sp.kernel[0], sp.stride[0], sp.padding[0])
+        return t
+
+    s_a = 1
+    for sp in a_enc:
+        s_a *= sp.stride[0]
+    if s_a == 0 or a % s_a != 0:
+        raise ValueError(
+            f"--fusion_encode full: the STFT encoder's time-stride product "
+            f"{s_a} does not divide hops_per_frame={a}; latent windows "
+            f"cannot be sliced at this geometry — use fusion_encode=window")
+    hop_a, hop_v = a // s_a, 1
+    t_full_a = sim_t(a_enc, (nf + ns - 1) * a)
+    t_full_v = sim_t(pg_enc, nf + ns - 1)
+    if t_full_a != t_win + (ns - 1) * hop_a or t_full_v != nf + ns - 1:
+        raise ValueError(
+            f"--fusion_encode full: full-sequence latent lengths "
+            f"(a={t_full_a}, v={t_full_v}) do not tile {ns} windows of "
+            f"t={t_win} at hops ({hop_a},{hop_v}) — the conv chain's "
+            f"rounding broke alignment; use fusion_encode=window")
+    return hop_a, hop_v, t_win
+
+
 def make_fusion_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
                      window_mode: str = "scan", state_shardings=None,
                      k_steps: int = 1):
@@ -332,6 +383,9 @@ def make_fusion_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
     coeff, obj_zeros = cfg.loss_coeff, cfg.objective_zeros
     if window_mode not in ("scan", "vectorized"):
         raise ValueError(f"unknown window_mode {window_mode}")
+    encode = getattr(cfg, "fusion_encode", "window")
+    if encode not in ("window", "full"):
+        raise ValueError(f"unknown fusion_encode {encode!r} (window|full)")
     apply_train = _train_apply(model, cfg.remat)
     mb = max(1, int(cfg.microbatch))
 
@@ -339,6 +393,100 @@ def make_fusion_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
         return (jnp.where(mode == 1, 0.0, 1.0),  # visual-only zeroes audio in
                 jnp.where(mode == 0, 0.0, 1.0),  # audio-only zeroes visual in
                 jnp.where((mode == 1) & bool(obj_zeros), 0.0, 1.0))
+
+    if encode == "full":
+        # --fusion_encode full: run BOTH conv encoders ONCE over the whole
+        # (nf+ns-1)-frame span and slice ns latent windows before the
+        # LSTM+FC heads — encoder input shrinks ns*nf -> nf+ns-1 frames
+        # (~2.9x at the defaults) on a step measured AT the HBM roofline
+        # (BASELINE.md round 4f), so the saved bytes are the binding
+        # resource. Documented deviations vs the reference's windowed apply
+        # (train.py:123-162), same class as frames_encode=full:
+        # (a) interior windows see real temporal neighbors through the STFT
+        #     encoder's k=5 time padding instead of each window's zero pad
+        #     (the pgram encoder has k_t=1 — no temporal context either way);
+        # (b) BatchNorm statistics are one full-sequence encoder update per
+        #     step instead of ns window updates;
+        # (c) the phasegram temporal diff + max-abs normalization run over
+        #     the full span once (true diff at window seams, one global max)
+        #     instead of per window.
+        # Identical to the vectorized window mode when num_seq == 1
+        # (tests/test_fusion_fullenc.py). This path supersedes window_mode —
+        # the heads are vectorized over windows by construction.
+        hop_a, hop_v, t_win = _fusion_full_geometry(model, cfg)
+
+        def enc_fwd(params, bstats, x_a_full, x_v_full):
+            return model.apply(
+                {"params": params, "batch_stats": bstats}, x_a_full, x_v_full,
+                train=True, mutable=["batch_stats"], method=model.encode_both)
+
+        def heads_fwd(params, bstats, lat_a_b, lat_v_b, xs_b):
+            # the fusion heads (LSTM + Dense) hold no BatchNorm: nothing to
+            # mutate, the encoder-updated stats pass through unchanged
+            return model.apply(
+                {"params": params, "batch_stats": bstats},
+                lat_a_b, lat_v_b, xs_b, train=True,
+                method=model.heads_from_latents)
+
+        if cfg.remat:
+            enc_fwd = _apply_remat(enc_fwd)
+            heads_fwd = _apply_remat(heads_fwd)
+
+        def step_full(state: TrainState, batch, rng: jax.Array,
+                      mode: jnp.ndarray):
+            mode = jnp.asarray(mode)
+            x_full, y_full = _prep_stft_pair(
+                batch["audio"], cfg, rng, trim_end=True,
+                max_norm=cfg.normalize_output_fft)
+            a_mask, v_mask, ya_mask = _masks(mode)
+            p_flat = _pflat_from_batch(batch, cfg)
+
+            def full_grads(params, bstats, x_f, y_f, p_f):
+                # encode exactly the span the ns windows cover — a longer
+                # tail would leak context into the last window's conv pad
+                # and shift the BN batch statistics
+                x_used = jax.lax.slice_in_dim(x_f, 0, (nf + ns - 1) * a,
+                                              axis=2)
+                pg_full = phasegram_window(p_f[:, :nf + ns - 1])
+
+                def wins(full, axis, hop, width):
+                    st = jnp.stack(
+                        [jax.lax.slice_in_dim(full, j * hop, j * hop + width,
+                                              axis=axis)
+                         for j in range(ns)], axis=1)  # [B, ns, ...]
+                    return st.reshape((-1,) + st.shape[2:])
+
+                def loss_fn(params, bstats):
+                    (a_lat, v_lat), mut = enc_fwd(
+                        params, bstats, x_used * a_mask, pg_full * v_mask)
+                    bstats = mut["batch_stats"]
+                    lat_a_b = wins(a_lat, 2, hop_a, t_win)
+                    lat_v_b = wins(v_lat, 2, hop_v, t_win)
+                    xs_b = wins(x_f, 2, a, nf * a)
+                    ys_b = wins(y_f, 2, a, nf * a)
+                    ypg_b = wins(pg_full, 2, 1, nf)
+                    yh_a, yh_v, _ = heads_fwd(params, bstats, lat_a_b,
+                                              lat_v_b, xs_b * a_mask)
+                    a_loss = mse(yh_a, ys_b * ya_mask)
+                    v_loss = mse(yh_v, ypg_b)
+                    loss = a_loss + coeff * v_loss
+                    return loss, (bstats, {"loss": loss, "a_loss": a_loss,
+                                           "v_loss": v_loss})
+
+                (_, (bstats, metrics)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params, bstats)
+                return grads, bstats, metrics
+
+            if mb > 1:
+                return _microbatch_accumulate(
+                    state, mb, (x_full, y_full, p_flat), full_grads)
+            grads, bstats, metrics = full_grads(
+                state.params, state.batch_stats, x_full, y_full, p_flat)
+            metrics = {**metrics, **_watch_metrics(grads, state.params)}
+            return state.apply_gradients(grads=grads, batch_stats=bstats), metrics
+
+        return _jit_step(step_full, mesh, _fusion_batch_spec(cfg),
+                         state_shardings, k_steps)
 
     def step_vectorized(state: TrainState, batch, rng: jax.Array,
                         mode: jnp.ndarray):
