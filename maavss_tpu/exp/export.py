@@ -45,7 +45,7 @@ _GEOMETRY_FIELDS = (
     "framesize", "samplerate", "latent_chan", "fc_size", "use_polar",
     "normalize_fft",
     "normalize_output_fft", "mask_head", "rnn_cell", "pgram_cache",
-    "frames_encode",
+    "frames_encode", "fusion_encode",
 )
 
 

@@ -103,8 +103,20 @@ def make_separator(model, cfg: RunConfig):
     Denoising setup mirrors training: input = clean STFT + noise; output
     audio comes from the model's predicted complex STFT, inverted window by
     window and overlap-averaged on the shared hops.
+
+    `--fusion_encode full` changes the feature construction (conv temporal
+    context at window seams, full-span phasegram finishing — see
+    train/steps.py:make_fusion_step), so a model trained that way is
+    separated that way too: both encoders run ONCE over the full span, the
+    ns latent windows batch through the heads in one apply (~2.9x less
+    encoder input AND ns head applies -> 1, same move as the frames
+    family's full-encode separator above).
     """
     a, nf, ns = cfg.hops_per_frame, cfg.num_frames, cfg.num_seq
+    encode = getattr(cfg, "fusion_encode", "window")
+    if encode == "full":
+        from maavss_tpu.train.steps import _fusion_full_geometry
+        hop_a, hop_v, t_win = _fusion_full_geometry(model, cfg)
 
     @jax.jit
     def separate(state: TrainState, batch, rng: jax.Array) -> Dict[str, jnp.ndarray]:
@@ -114,27 +126,63 @@ def make_separator(model, cfg: RunConfig):
             batch["audio"], cfg, rng, trim_end=True,
             max_norm=cfg.normalize_output_fft)
         p_flat = _pflat_from_batch(batch, cfg)  # frames or --pgram_cache rows
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
 
         t_total = y_full.shape[2]
         acc = jnp.zeros_like(y_full)
         cnt = jnp.zeros((1, 1, t_total, 1), y_full.dtype)
 
-        def body(carry, j):
-            acc, cnt = carry
-            pw = jax.lax.dynamic_slice_in_dim(p_flat, j, nf, axis=1)
-            pg = phasegram_window(pw)
-            xs = jax.lax.dynamic_slice_in_dim(x_full, j * a, nf * a, axis=2)
-            yh, _, _ = model.apply(
-                {"params": state.params, "batch_stats": state.batch_stats},
-                xs, pg, train=False)
-            acc = jax.lax.dynamic_update_slice_in_dim(
-                acc, jax.lax.dynamic_slice_in_dim(acc, j * a, nf * a, axis=2) + yh,
-                j * a, axis=2)
-            ones = jnp.ones((1, 1, nf * a, 1), cnt.dtype)
-            cnt = jax.lax.dynamic_update_slice_in_dim(
-                cnt, jax.lax.dynamic_slice_in_dim(cnt, j * a, nf * a, axis=2) + ones,
-                j * a, axis=2)
-            return (acc, cnt), None
+        if encode == "full":
+            bsz = x_full.shape[0]
+            x_used = jax.lax.slice_in_dim(x_full, 0, (nf + ns - 1) * a, axis=2)
+            pg_full = phasegram_window(p_flat[:, :nf + ns - 1])
+            a_lat, v_lat = model.apply(variables, x_used, pg_full,
+                                       train=False, method=model.encode_both)
+
+            def wins(full, axis, hop, width):
+                st = jnp.stack(
+                    [jax.lax.slice_in_dim(full, j * hop, j * hop + width,
+                                          axis=axis)
+                     for j in range(ns)], axis=1)  # [B, ns, ...]
+                return st.reshape((-1,) + st.shape[2:])
+
+            yh_b, _, _ = model.apply(
+                variables, wins(a_lat, 2, hop_a, t_win),
+                wins(v_lat, 2, hop_v, t_win), wins(x_full, 2, a, nf * a),
+                train=False, method=model.heads_from_latents)
+            yh_wins = yh_b.reshape((bsz, ns) + yh_b.shape[1:])
+
+            def body(carry, j):
+                acc, cnt = carry
+                yh = jax.lax.dynamic_index_in_dim(yh_wins, j, axis=1,
+                                                  keepdims=False)
+                acc = jax.lax.dynamic_update_slice_in_dim(
+                    acc, jax.lax.dynamic_slice_in_dim(
+                        acc, j * a, nf * a, axis=2) + yh.astype(acc.dtype),
+                    j * a, axis=2)
+                ones = jnp.ones((1, 1, nf * a, 1), cnt.dtype)
+                cnt = jax.lax.dynamic_update_slice_in_dim(
+                    cnt, jax.lax.dynamic_slice_in_dim(
+                        cnt, j * a, nf * a, axis=2) + ones,
+                    j * a, axis=2)
+                return (acc, cnt), None
+        else:
+            def body(carry, j):
+                acc, cnt = carry
+                pw = jax.lax.dynamic_slice_in_dim(p_flat, j, nf, axis=1)
+                pg = phasegram_window(pw)
+                xs = jax.lax.dynamic_slice_in_dim(x_full, j * a, nf * a, axis=2)
+                yh, _, _ = model.apply(variables, xs, pg, train=False)
+                acc = jax.lax.dynamic_update_slice_in_dim(
+                    acc, jax.lax.dynamic_slice_in_dim(
+                        acc, j * a, nf * a, axis=2) + yh,
+                    j * a, axis=2)
+                ones = jnp.ones((1, 1, nf * a, 1), cnt.dtype)
+                cnt = jax.lax.dynamic_update_slice_in_dim(
+                    cnt, jax.lax.dynamic_slice_in_dim(
+                        cnt, j * a, nf * a, axis=2) + ones,
+                    j * a, axis=2)
+                return (acc, cnt), None
 
         (acc, cnt), _ = jax.lax.scan(body, (acc, cnt), jnp.arange(ns))
         yh_full = acc / jnp.maximum(cnt, 1.0)

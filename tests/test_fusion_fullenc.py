@@ -131,3 +131,42 @@ def test_full_geometry_guard():
     model, _ = build(CFG, 4)
     hop_a, hop_v, t_win = _fusion_full_geometry(model, CFG)
     assert (hop_a, hop_v, t_win) == (1, 1, CFG.num_frames)
+
+
+def _separate(model, vs, cfg, batch):
+    from maavss_tpu.train.infer import make_separator
+    from maavss_tpu.train.state import create_train_state
+
+    state = create_train_state(
+        jax.tree_util.tree_map(jnp.copy, vs),
+        make_optimizer(cfg.learning_rate, "sgd"))
+    sep = make_separator(model, cfg)
+    return sep(state, {"audio": batch["audio"], "frames": batch["frames"]},
+               jax.random.PRNGKey(7))
+
+
+def test_full_separator_matches_window_at_ns1():
+    # ns == 1: the full-encode separator is mathematically the windowed one
+    # (one window IS the span); outputs must match to fp tolerance
+    cfg = CFG.replace(num_seq=1)
+    model, vs = build(cfg, 4)
+    batch = jax.tree_util.tree_map(
+        jnp.asarray, synthetic_av_batch(cfg, 4, seed=5))
+
+    out_w = _separate(model, vs, cfg.replace(fusion_encode="window"), batch)
+    out_f = _separate(model, vs, cfg.replace(fusion_encode="full"), batch)
+    np.testing.assert_allclose(np.asarray(out_w["audio_out"]),
+                               np.asarray(out_f["audio_out"]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(float(out_w["si_sdr"].mean()),
+                               float(out_f["si_sdr"].mean()), rtol=1e-4)
+
+
+def test_full_separator_runs_ns2():
+    cfg = CFG.replace(fusion_encode="full")
+    model, vs = build(cfg, 4)
+    batch = jax.tree_util.tree_map(
+        jnp.asarray, synthetic_av_batch(cfg, 4, seed=6))
+    out = _separate(model, vs, cfg, batch)
+    assert np.all(np.isfinite(np.asarray(out["audio_out"])))
+    assert np.all(np.isfinite(np.asarray(out["si_sdr_gain"])))
