@@ -61,7 +61,13 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--fusion_encode", default="window",
+                    choices=("window", "full"),
+                    help="attribute the windowed (reference-parity) or the "
+                         "--fusion_encode full step: full times the encoders "
+                         "on the (nf+ns-1)-frame span they actually see")
     args = ap.parse_args()
+    full_enc = args.fusion_encode == "full"
 
     from maavss_tpu.config import RunConfig
     from maavss_tpu.data.synthetic import synthetic_av_batch
@@ -77,7 +83,8 @@ def main() -> None:
     from maavss_tpu.train.state import create_train_state, make_optimizer
 
     init_runtime()
-    cfg = RunConfig(batch_size=args.batch, dtype=args.dtype, pgram_cache=True)
+    cfg = RunConfig(batch_size=args.batch, dtype=args.dtype, pgram_cache=True,
+                    fusion_encode=args.fusion_encode)
     b, a, nf, ns = args.batch, cfg.hops_per_frame, cfg.num_frames, cfg.num_seq
     t_stft = a * nf
     model = AVFusionModel(
@@ -115,6 +122,21 @@ def main() -> None:
         return fold(x_full), fold(y_full), y_pg
 
     xs, ys, y_pg = jax.jit(build_inputs)(audio, pgram_rows, rng)
+
+    # full-encode mode: the encoders see the UN-folded (nf+ns-1)-frame span
+    # (train/steps.py:make_fusion_step full path); heads see the same batched
+    # window shapes as the window mode, so those stages reuse xs/ys/y_pg
+    def build_full_inputs(audio, pgram_rows, rng):
+        x_full, _ = _prep_stft_pair(audio, cfg, rng, trim_end=True,
+                                    max_norm=cfg.normalize_output_fft)
+        x_used = jax.lax.slice_in_dim(x_full, 0, (nf + ns - 1) * a, axis=2)
+        pg_full = phasegram_window(
+            pgram_rows.astype(jnp.float32)[:, :nf + ns - 1])
+        return x_used, pg_full
+
+    if full_enc:
+        x_used, pg_full = jax.jit(build_full_inputs)(audio, pgram_rows, rng)
+        x_used, pg_full = map(jax.device_put, (x_used, pg_full))
     # materialization passes (values only need to be representative): eval
     # mode so batch_stats stays immutable; the timed closures use train=True
     # with mutable=["batch_stats"] like the real step.
@@ -188,22 +210,60 @@ def main() -> None:
             mutable=["batch_stats"])
         return mse(yh_a, ys) + cfg.loss_coeff * mse(yh_v, y_pg), mut
 
+    def fullenc_loss(params, bstats, x_used, pg_full, xs, ys, y_pg):
+        # the --fusion_encode full dataflow (train/steps.py step_full):
+        # encode once over the span, slice ns latent windows, batch heads
+        (a_lat, v_lat), mut = model.apply(
+            {"params": params, "batch_stats": bstats}, x_used, pg_full,
+            train=True, mutable=["batch_stats"], method=model.encode_both)
+
+        def wins(full, hop, width):
+            st = jnp.stack(
+                [jax.lax.slice_in_dim(full, j * hop, j * hop + width, axis=2)
+                 for j in range(ns)], axis=1)
+            return st.reshape((-1,) + st.shape[2:])
+
+        from maavss_tpu.train.steps import _fusion_full_geometry
+        hop_a, hop_v, t_win = _fusion_full_geometry(model, cfg)
+        yh_a, yh_v, _ = model.apply(
+            {"params": params, "batch_stats": mut["batch_stats"]},
+            wins(a_lat, hop_a, t_win), wins(v_lat, hop_v, t_win), xs,
+            train=True, method=model.heads_from_latents)
+        return mse(yh_a, ys) + cfg.loss_coeff * mse(yh_v, y_pg), mut
+
     def prep_only(audio, pgram_rows, rng):
         xs, ys, y_pg = build_inputs(audio, pgram_rows, rng)
         return (jnp.sum(xs.astype(jnp.float32)) +
                 jnp.sum(ys.astype(jnp.float32)) +
                 jnp.sum(y_pg.astype(jnp.float32)))
 
+    def prep_full_only(audio, pgram_rows, rng):
+        x_used, pg_full = build_full_inputs(audio, pgram_rows, rng)
+        return (jnp.sum(x_used.astype(jnp.float32)) +
+                jnp.sum(pg_full.astype(jnp.float32)))
+
     results = {}
-    parts = [
-        ("prep", jax.jit(prep_only), (audio, pgram_rows, rng)),
-        ("enc_a", grad_closed(enc_a_loss), (params, bstats, xs)),
-        ("enc_v", grad_closed(enc_v_loss), (params, bstats, y_pg)),
-        ("rnn", grad_closed(rnn_loss), (params, bstats, lstm_in)),
-        ("fc_heads", grad_closed(fc_heads_loss),
-         (params, bstats, lstm_out, xs, ys, y_pg)),
-        ("fullgrad", grad_closed(full_loss), (params, bstats, xs, ys, y_pg)),
-    ]
+    if full_enc:
+        parts = [
+            ("prep", jax.jit(prep_full_only), (audio, pgram_rows, rng)),
+            ("enc_a", grad_closed(enc_a_loss), (params, bstats, x_used)),
+            ("enc_v", grad_closed(enc_v_loss), (params, bstats, pg_full)),
+            ("rnn", grad_closed(rnn_loss), (params, bstats, lstm_in)),
+            ("fc_heads", grad_closed(fc_heads_loss),
+             (params, bstats, lstm_out, xs, ys, y_pg)),
+            ("fullgrad", grad_closed(fullenc_loss),
+             (params, bstats, x_used, pg_full, xs, ys, y_pg)),
+        ]
+    else:
+        parts = [
+            ("prep", jax.jit(prep_only), (audio, pgram_rows, rng)),
+            ("enc_a", grad_closed(enc_a_loss), (params, bstats, xs)),
+            ("enc_v", grad_closed(enc_v_loss), (params, bstats, y_pg)),
+            ("rnn", grad_closed(rnn_loss), (params, bstats, lstm_in)),
+            ("fc_heads", grad_closed(fc_heads_loss),
+             (params, bstats, lstm_out, xs, ys, y_pg)),
+            ("fullgrad", grad_closed(full_loss), (params, bstats, xs, ys, y_pg)),
+        ]
     from maavss_tpu.exp.profiling import compile_report
 
     rooflines = {}
@@ -243,8 +303,8 @@ def main() -> None:
     print(json.dumps({"part": "step", "ms": results["step"]}), flush=True)
 
     print(json.dumps({"metric": "fusion_stage_ms", "batch": args.batch,
-                      "dtype": args.dtype, "results": results,
-                      "rooflines": rooflines}))
+                      "dtype": args.dtype, "fusion_encode": args.fusion_encode,
+                      "results": results, "rooflines": rooflines}))
 
 
 if __name__ == "__main__":
