@@ -120,8 +120,12 @@ def measure_jax_clips_per_sec(batch_size: int, steps: int = 50, warmup: int = 5,
                     remat=os.environ.get("MAAVSS_BENCH_REMAT", "0") == "1",
                     frames_encode=os.environ.get("MAAVSS_BENCH_FRAMES_ENCODE",
                                                  "window"),
+                    # full-encode is the headline default since r4h: +68%
+                    # throughput at equal 10k quality (11.12 vs 11.11 dB
+                    # SI-SDR; BASELINE.md round 4h). Product CLI default
+                    # stays 'window' (reference semantics).
                     fusion_encode=os.environ.get("MAAVSS_BENCH_FUSION_ENCODE",
-                                                 "window"))
+                                                 "full"))
     if regime == "frames":
         model, variables, make_step = _build_frames(cfg, batch_size)
         batch = synthetic_av_batch(cfg, batch_size, seed=0,
@@ -284,7 +288,7 @@ def main() -> None:
         "stft_fold": os.environ.get("MAAVSS_BENCH_STFT_FOLD", "auto"),
         "stft_impl": os.environ.get("MAAVSS_STFT_IMPL", "auto"),
         "frames_encode": os.environ.get("MAAVSS_BENCH_FRAMES_ENCODE", "window"),
-        "fusion_encode": os.environ.get("MAAVSS_BENCH_FUSION_ENCODE", "window"),
+        "fusion_encode": os.environ.get("MAAVSS_BENCH_FUSION_ENCODE", "full"),
         "epilogue": os.environ.get("MAAVSS_EPILOGUE", "auto"),
         "remat": (os.environ.get("MAAVSS_BENCH_REMAT", "0") == "1")
         and (os.environ.get("MAAVSS_REMAT_POLICY", "full")),
