@@ -58,6 +58,14 @@ class RunConfig:
     normalize_output_fft: bool = False
     use_polar: bool = False
     noise_scalar: float = 0.1
+    noise_schedule: Optional[str] = None  # anneal the additive-noise std
+    #   over the run's total optimizer steps (a denoising-curriculum lever
+    #   the reference lacks — its noise_scalar is flat, av_dataset.py:217).
+    #   Spec: "linear:<start>:<end>" or "cosine:<start>:<end>"; None keeps
+    #   the constant noise_scalar. When set, the train steps take the noise
+    #   std as a TRACED scalar (one compile serves every step); the eval/
+    #   separator mixtures stay at noise_scalar so quality numbers remain
+    #   comparable across arms.
 
     # -- model sizes (run_config.py:35-36)
     fc_size: int = 4096
@@ -195,6 +203,28 @@ class RunConfig:
         return dataclasses.replace(self, **kw)
 
 
+def _mode_schedule(v: str) -> str:
+    """--mode_schedule validator: the three reference-era names, or the
+    weighted form 'random:<pa>,<pv>,<pav>' (nonnegative weights over
+    {audio-only, visual-only, AV}; normalized by the Trainer)."""
+    if v in ("cycle", "random01", "fixed"):
+        return v
+    if v.startswith("random:"):
+        parts = v[len("random:"):].split(",")
+        try:
+            ws = [float(x) for x in parts]
+        except ValueError:
+            ws = []
+        if len(ws) != 3 or any(w < 0 for w in ws) or sum(ws) <= 0:
+            raise argparse.ArgumentTypeError(
+                f"bad --mode_schedule {v!r}: want random:<pa>,<pv>,<pav> "
+                "with nonnegative weights summing > 0")
+        return v
+    raise argparse.ArgumentTypeError(
+        f"bad --mode_schedule {v!r}: cycle | random01 | fixed | "
+        "random:<pa>,<pv>,<pav>")
+
+
 def _str2bool(v) -> bool:
     # the reference uses `type=bool`, for which any non-empty string is True;
     # we accept explicit true/false spellings as well, treating other
@@ -251,6 +281,10 @@ def build_parser(parser: Optional[argparse.ArgumentParser] = None) -> argparse.A
     p.add_argument("--normalize_output_fft", type=_str2bool, default=False)
     p.add_argument("--use_polar", type=_str2bool, default=False)
     p.add_argument("--noise_scalar", type=float, default=0.1)
+    p.add_argument("--noise_schedule", type=str, default=None,
+                   help="anneal the train-time additive-noise std over the "
+                        "run: 'linear:<start>:<end>' | 'cosine:<start>:<end>'"
+                        " (eval mixtures stay at --noise_scalar)")
 
     p.add_argument("--fc_size", type=int, default=4096)
     p.add_argument("--latent_chan", type=int, default=64)
@@ -333,10 +367,12 @@ def build_parser(parser: Optional[argparse.ArgumentParser] = None) -> argparse.A
     p.add_argument("--steps_per_dispatch", type=int, default=1,
                    help="optimizer steps per compiled dispatch (K batches "
                         "staged on device, lax.scan over them)")
-    p.add_argument("--mode_schedule", type=str, default=None,
-                   choices=("cycle", "random01", "fixed"),
-                   help="override the regime's modality curriculum "
-                        "(default: the reference script's own schedule)")
+    p.add_argument("--mode_schedule", type=_mode_schedule, default=None,
+                   help="override the regime's modality curriculum: cycle | "
+                        "random01 | fixed | random:<pa>,<pv>,<pav> (weighted "
+                        "draw over {audio-only, visual-only, AV} every "
+                        "mode_freq epochs; default: the reference script's "
+                        "own schedule)")
     return p
 
 

@@ -144,6 +144,40 @@ def resolve_lr(cfg: RunConfig):
     raise SystemExit(f"unknown --lr_schedule {cfg.lr_schedule}")
 
 
+def resolve_noise_schedule(cfg: RunConfig):
+    """--noise_schedule: None (constant --noise_scalar, reference parity —
+    av_dataset.py:217-220 applies a flat noise_std) or a step -> noise-std
+    float over the run's total optimizer steps:
+
+      linear:<start>:<end>   straight-line anneal start -> end
+      cosine:<start>:<end>   half-cosine anneal start -> end
+
+    The Trainer feeds the value to the compiled step as a TRACED scalar
+    (train/steps._jit_step), so the anneal never recompiles. Eval and the
+    separators keep cfg.noise_scalar — arms stay comparable."""
+    spec = cfg.noise_schedule
+    if not spec:
+        return None
+    try:
+        kind, start_s, end_s = spec.split(":")
+        start, end = float(start_s), float(end_s)
+    except ValueError:
+        raise SystemExit(
+            f"bad --noise_schedule {spec!r}: want linear:<start>:<end> "
+            "or cosine:<start>:<end>")
+    total = max(cfg.epochs * cfg.steps_per_epoch - 1, 1)
+    if kind == "linear":
+        return lambda step: start + (end - start) * min(step, total) / total
+    if kind == "cosine":
+        import math
+
+        return lambda step: end + (start - end) * 0.5 * (
+            1.0 + math.cos(math.pi * min(step, total) / total))
+    raise SystemExit(
+        f"bad --noise_schedule {spec!r}: unknown kind {kind!r} "
+        "(linear|cosine)")
+
+
 def _flat_opt(cfg: RunConfig) -> bool:
     """--fused_opt gate: the flat moment buffers cannot shard per-leaf over
     the 'model' axis (parallel/mesh.shard_state's shape rule), so the

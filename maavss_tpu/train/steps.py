@@ -1,7 +1,9 @@
 """Jit-compiled, mesh-sharded train steps for every reference training regime.
 
 Each factory returns one compiled `step(state, batch, rng, mode) -> (state,
-metrics)` containing the *entire* per-step pipeline on device:
+metrics)` containing the *entire* per-step pipeline on device (under
+--noise_schedule the denoising regimes accept an optional 5th argument, the
+traced noise std — see _jit_step):
 
   raw audio/frames -> STFT + noise + normalization + phasegram (preprocess)
   -> sliding-window forward/backward with gradient accumulation (lax.scan)
@@ -25,6 +27,7 @@ over the *global* batch, matching reference single-device semantics.
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Any, Callable, Dict, Optional, Tuple
 
@@ -43,6 +46,10 @@ from maavss_tpu.parallel.mesh import DATA_AXIS
 from maavss_tpu.train.state import TrainState
 
 Metrics = Dict[str, jnp.ndarray]
+
+# _jit_step sentinel: "this factory's step has no noise argument" (vs a
+# RunConfig, which routes --noise_schedule; see _jit_step's docstring)
+_NO_NOISE = object()
 
 
 def mse(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -178,7 +185,8 @@ def _multistep(step: Callable, k: int) -> Callable:
 
 
 def _jit_step(step: Callable, mesh: Optional[Mesh], batch_spec: Any,
-              state_shardings: Any = None, k_steps: int = 1):
+              state_shardings: Any = None, k_steps: int = 1,
+              noise: Any = _NO_NOISE):
     """Compile with shardings when a mesh is given (single-device otherwise).
 
     `state_shardings` (a state-shaped pytree of NamedShardings from
@@ -186,9 +194,88 @@ def _jit_step(step: Callable, mesh: Optional[Mesh], batch_spec: Any,
     (--mesh_model); when absent the state is replicated and only the batch is
     sharded (pure data parallelism). `k_steps > 1` wraps the body in
     _multistep — batch leaves then carry a leading stack axis [K, B, ...]
-    sharded P(None, 'data')."""
+    sharded P(None, 'data').
+
+    `noise` (factories with a denoising objective pass it): the inner `step`
+    then has signature (state, batch, rng, mode, noise). _NO_NOISE = the
+    step is the plain 4-arg form. A RunConfig = --noise_schedule routing:
+      * schedule unset -> noise_scalar is partially applied as a Python
+        float BEFORE compilation, so the compiled program is byte-identical
+        to the historical 4-arg one (the constant folds into the HLO);
+      * schedule set -> noise compiles as a TRACED replicated scalar and
+        the returned callable accepts an optional 5th argument (defaulting
+        to a cached device scalar of cfg.noise_scalar), so one compile
+        serves every annealed value and every legacy 4-arg call site."""
+    traced_noise = False
+    default_noise = None
+    if noise is not _NO_NOISE:
+        cfg_ = noise
+        default_noise = float(cfg_.noise_scalar)
+        if getattr(cfg_, "noise_schedule", None):
+            traced_noise = True
+        else:
+            step = functools.partial(step, noise=default_noise)
     if k_steps > 1:
-        step = _multistep(step, k_steps)
+        step = _multistep_noise(step, k_steps) if traced_noise else \
+            _multistep(step, k_steps)
+    if not traced_noise:
+        return _jit_plain(step, mesh, batch_spec, state_shardings, k_steps)
+
+    if mesh is None:
+        compiled = jax.jit(step, donate_argnums=(0,))
+    else:
+        repl = NamedSharding(mesh, P())
+        bspec = P(None, DATA_AXIS) if k_steps > 1 else P(DATA_AXIS)
+        bshard = NamedSharding(mesh, bspec)
+        batch_shardings = jax.tree_util.tree_map(lambda _: bshard, batch_spec)
+        sshard = state_shardings if state_shardings is not None else repl
+        compiled = jax.jit(
+            step,
+            donate_argnums=(0,),
+            in_shardings=(sshard, batch_shardings, repl, repl, repl),
+            out_shardings=(sshard, repl),
+        )
+
+    cache: list = []
+
+    def _resolve(noise_val):
+        if noise_val is None:
+            if not cache:
+                cache.append(jnp.float32(default_noise))
+            return cache[0]
+        return jnp.asarray(noise_val, jnp.float32)
+
+    def call(state, batch, rng, mode, noise=None):
+        return compiled(state, batch, rng, mode, _resolve(noise))
+
+    # AOT surface (exp/profiling.compile_report drives product steps
+    # through .lower) — fill the default like the call path does
+    call.lower = lambda state, batch, rng, mode, noise=None: compiled.lower(
+        state, batch, rng, mode, _resolve(noise))
+    return call
+
+
+def _multistep_noise(step: Callable, k: int) -> Callable:
+    """_multistep for the traced-noise step form (state, batch, rng, mode,
+    noise): one annealed noise value per DISPATCH (the schedule advances per
+    optimizer step on the host; inside a K-dispatch the K steps share it —
+    documented --steps_per_dispatch x --noise_schedule granularity)."""
+
+    def kstep(state: TrainState, batches, rng: jax.Array, mode: jnp.ndarray,
+              noise: jnp.ndarray):
+        def body(st, inp):
+            i, batch = inp
+            st, metrics = step(st, batch, jax.random.fold_in(rng, i), mode,
+                               noise)
+            return st, metrics
+
+        return jax.lax.scan(body, state, (jnp.arange(k), batches))
+
+    return kstep
+
+
+def _jit_plain(step: Callable, mesh: Optional[Mesh], batch_spec: Any,
+               state_shardings: Any, k_steps: int):
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,))
     repl = NamedSharding(mesh, P())
@@ -205,13 +292,20 @@ def _jit_step(step: Callable, mesh: Optional[Mesh], batch_spec: Any,
 
 
 def _prep_stft_pair(
-    audio: jnp.ndarray, cfg: RunConfig, rng: jax.Array, trim_end: bool, max_norm: bool
+    audio: jnp.ndarray, cfg: RunConfig, rng: jax.Array, trim_end: bool,
+    max_norm: bool, noise_scalar=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """audio [B,S] -> (x_stft, y_stft) [B,2,T,F]: optional SoX-contrast
     compression (--compress_audio, av_dataset.py:213-214), STFT, optional
     per-example max-norm, then additive-noise input
     (av_dataset.py:335-342,217-220). Shared by the train steps, the eval fns
-    AND the separators, so features always match across them."""
+    AND the separators, so features always match across them.
+
+    `noise_scalar` overrides cfg.noise_scalar — a Python float (baked
+    constant) or a traced scalar (--noise_schedule curriculum; the train
+    steps thread it so one compile serves every annealed value)."""
+    if noise_scalar is None:
+        noise_scalar = cfg.noise_scalar
     if cfg.compress_audio:
         from maavss_tpu.ops.audio import contrast
 
@@ -222,7 +316,8 @@ def _prep_stft_pair(
     )
     if max_norm:
         y = norm_per_example(y)
-    x = y + jax.random.normal(rng, y.shape, y.dtype) * cfg.noise_scalar
+    x = y + jax.random.normal(rng, y.shape, y.dtype) * jnp.asarray(
+        noise_scalar, y.dtype)
     return x, y
 
 
@@ -433,11 +528,11 @@ def make_fusion_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
             heads_fwd = _apply_remat(heads_fwd)
 
         def step_full(state: TrainState, batch, rng: jax.Array,
-                      mode: jnp.ndarray):
+                      mode: jnp.ndarray, noise):
             mode = jnp.asarray(mode)
             x_full, y_full = _prep_stft_pair(
                 batch["audio"], cfg, rng, trim_end=True,
-                max_norm=cfg.normalize_output_fft)
+                max_norm=cfg.normalize_output_fft, noise_scalar=noise)
             a_mask, v_mask, ya_mask = _masks(mode)
             p_flat = _pflat_from_batch(batch, cfg)
 
@@ -486,13 +581,14 @@ def make_fusion_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
             return state.apply_gradients(grads=grads, batch_stats=bstats), metrics
 
         return _jit_step(step_full, mesh, _fusion_batch_spec(cfg),
-                         state_shardings, k_steps)
+                         state_shardings, k_steps, noise=cfg)
 
     def step_vectorized(state: TrainState, batch, rng: jax.Array,
-                        mode: jnp.ndarray):
+                        mode: jnp.ndarray, noise):
         mode = jnp.asarray(mode)
         x_full, y_full = _prep_stft_pair(
-            batch["audio"], cfg, rng, trim_end=True, max_norm=cfg.normalize_output_fft
+            batch["audio"], cfg, rng, trim_end=True,
+            max_norm=cfg.normalize_output_fft, noise_scalar=noise
         )
         a_mask, v_mask, ya_mask = _masks(mode)
         p_flat = _pflat_from_batch(batch, cfg)
@@ -536,7 +632,7 @@ def make_fusion_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
 
     if window_mode == "vectorized":
         return _jit_step(step_vectorized, mesh, _fusion_batch_spec(cfg),
-                         state_shardings, k_steps)
+                         state_shardings, k_steps, noise=cfg)
 
     def make_window_loss(x_full, y_full, p_flat, masks):
         a_mask, v_mask, ya_mask = masks
@@ -556,10 +652,12 @@ def make_fusion_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
 
         return window_loss
 
-    def step(state: TrainState, batch, rng: jax.Array, mode: jnp.ndarray):
+    def step(state: TrainState, batch, rng: jax.Array, mode: jnp.ndarray,
+             noise):
         mode = jnp.asarray(mode)
         x_full, y_full = _prep_stft_pair(
-            batch["audio"], cfg, rng, trim_end=True, max_norm=cfg.normalize_output_fft
+            batch["audio"], cfg, rng, trim_end=True,
+            max_norm=cfg.normalize_output_fft, noise_scalar=noise
         )
         masks = _masks(mode)
 
@@ -579,7 +677,7 @@ def make_fusion_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
                            state, ns)
 
     return _jit_step(step, mesh, _fusion_batch_spec(cfg), state_shardings,
-                     k_steps)
+                     k_steps, noise=cfg)
 
 
 def make_fusion_middle_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
@@ -618,10 +716,12 @@ def make_fusion_middle_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
 
         return window_loss
 
-    def step(state: TrainState, batch, rng: jax.Array, mode: jnp.ndarray):
+    def step(state: TrainState, batch, rng: jax.Array, mode: jnp.ndarray,
+             noise):
         mode = jnp.asarray(mode)
         x_full, y_full = _prep_stft_pair(
-            batch["audio"], cfg, rng, trim_end=True, max_norm=cfg.normalize_output_fft
+            batch["audio"], cfg, rng, trim_end=True,
+            max_norm=cfg.normalize_output_fft, noise_scalar=noise
         )
         masks = (jnp.where(mode == 1, 0.0, 1.0),
                  jnp.where(mode == 0, 0.0, 1.0))
@@ -638,7 +738,7 @@ def make_fusion_middle_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
                            state, ns)
 
     return _jit_step(step, mesh, _fusion_batch_spec(cfg), state_shardings,
-                     k_steps)
+                     k_steps, noise=cfg)
 
 
 # ---------------------------------------------------------------------------
@@ -758,10 +858,12 @@ def make_frames_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
 
         return full_loss
 
-    def step(state: TrainState, batch, rng: jax.Array, mode: jnp.ndarray):
+    def step(state: TrainState, batch, rng: jax.Array, mode: jnp.ndarray,
+             noise):
         mode = jnp.asarray(mode)
         x_full, y_full = _prep_stft_pair(
-            batch["audio"], cfg, rng, trim_end=False, max_norm=cfg.normalize_output_fft
+            batch["audio"], cfg, rng, trim_end=False,
+            max_norm=cfg.normalize_output_fft, noise_scalar=noise
         )
         frames = _vis_frames(batch, cfg)[:, :, None]  # [B, T_total, 1, H, W]
         masks = (jnp.where(mode == 1, 0.0, 1.0),
@@ -798,7 +900,8 @@ def make_frames_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
                                       chunk_grads)
 
     batch_spec = {"audio": 0, "frames": 0}
-    return _jit_step(step, mesh, batch_spec, state_shardings, k_steps)
+    return _jit_step(step, mesh, batch_spec, state_shardings, k_steps,
+                     noise=cfg)
 
 
 # ---------------------------------------------------------------------------
@@ -812,10 +915,12 @@ def make_audio_ae_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
     (train_autoencoder.py / train_audio_net.py regimes: denoising mse on the
     AE path, `audio_ae_forward`)."""
 
-    def step(state: TrainState, batch, rng: jax.Array, mode: jnp.ndarray):
+    def step(state: TrainState, batch, rng: jax.Array, mode: jnp.ndarray,
+             noise):
         del mode
         x, y = _prep_stft_pair(
-            batch["audio"], cfg, rng, trim_end=trim_end, max_norm=cfg.normalize_fft
+            batch["audio"], cfg, rng, trim_end=trim_end,
+            max_norm=cfg.normalize_fft, noise_scalar=noise
         )
 
         def loss_fn(params, bstats):
@@ -834,7 +939,8 @@ def make_audio_ae_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
         return new_state, {"loss": loss, "a_loss": loss, "v_loss": jnp.zeros(()),
                            **_watch_metrics(grads, state.params)}
 
-    return _jit_step(step, mesh, {"audio": 0}, state_shardings, k_steps)
+    return _jit_step(step, mesh, {"audio": 0}, state_shardings, k_steps,
+                     noise=cfg)
 
 
 def make_fusion_eval(model, cfg: RunConfig, mesh: Optional[Mesh] = None,

@@ -63,6 +63,27 @@ class Trainer:
         self.checkpoint_policy = checkpoint_policy
         self.media_fn = media_fn
         self.mode = 0 if mode_schedule == "cycle" else fixed_mode
+        # --mode_schedule random:<pa>,<pv>,<pav>: weighted draw over
+        # {audio-only, visual-only, AV} every mode_freq epochs — the
+        # curriculum-RATIO knob the reference's uniform randint lacks
+        # (train.py:239-241 cycles; train_avse_frames.py:219 draws {0,1})
+        self._mode_probs = None
+        if mode_schedule.startswith("random:"):
+            ws = np.asarray([float(x) for x in
+                             mode_schedule[len("random:"):].split(",")],
+                            np.float64)
+            if ws.shape != (3,) or (ws < 0).any() or ws.sum() <= 0:
+                raise ValueError(
+                    f"bad mode_schedule {mode_schedule!r}: want "
+                    "random:<pa>,<pv>,<pav>")
+            self._mode_probs = ws / ws.sum()
+            self.mode = 2  # start in AV, like 'fixed'
+        # --noise_schedule: per-step annealed noise std, fed to the compiled
+        # step as a traced scalar (train/steps._jit_step); None = the
+        # constant-noise_scalar program (byte-identical to historical)
+        from maavss_tpu.train.setup import resolve_noise_schedule
+
+        self._noise_fn = resolve_noise_schedule(cfg)
         self.logger = logger or MetricsLogger(
             cfg.log_dir, run_name, use_wandb=cfg.wandb,
             config=dataclasses.asdict(cfg),
@@ -114,6 +135,9 @@ class Trainer:
             if self.epoch % self.cfg.mode_freq == 0:
                 # reference quirk: randint(0,2) -> {0,1} only
                 self.mode = int(self._np_rng.integers(0, 2))
+        elif self._mode_probs is not None:
+            if self.epoch % self.cfg.mode_freq == 0:
+                self.mode = int(self._np_rng.choice(3, p=self._mode_probs))
 
     def _install_signal_handlers(self):
         """SIGTERM/SIGINT -> set the preempt flag (main thread only; under
@@ -212,9 +236,19 @@ class Trainer:
             self.meter.reset()
             for i in range(0, cfg.steps_per_epoch, k):
                 batch = next(train_batches)
-                self.state, metrics = self.step_fn(
-                    self.state, batch, self._next_rng(), jnp.int32(self.mode)
-                )
+                if self._noise_fn is not None:
+                    # annealed noise std rides as a traced scalar — no
+                    # recompile across values (K-dispatches share one value)
+                    self.state, metrics = self.step_fn(
+                        self.state, batch, self._next_rng(),
+                        jnp.int32(self.mode),
+                        jnp.float32(self._noise_fn(global_step)),
+                    )
+                else:
+                    self.state, metrics = self.step_fn(
+                        self.state, batch, self._next_rng(),
+                        jnp.int32(self.mode)
+                    )
                 lead = jax.tree_util.tree_leaves(batch)[0]
                 bsz = lead.shape[1] if k > 1 else lead.shape[0]
                 self.meter.update(bsz * k)

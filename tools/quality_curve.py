@@ -42,9 +42,9 @@ def main() -> None:
     from maavss_tpu.config import model_args
 
     cfg = model_args(rest)
-    if cfg.lr_schedule != "constant":
-        # the schedule's horizon is epochs*steps_per_epoch (train/setup.py:
-        # resolve_lr); pin it to this run's actual step count
+    if cfg.lr_schedule != "constant" or cfg.noise_schedule:
+        # schedule horizons are epochs*steps_per_epoch (train/setup.py:
+        # resolve_lr / resolve_noise_schedule); pin to this run's step count
         cfg = cfg.replace(epochs=1, steps_per_epoch=own.steps)
 
     import jax
@@ -90,6 +90,21 @@ def main() -> None:
     fh = open(own.out, "a", buffering=1)
     rng = jax.random.PRNGKey(cfg.seed)
     mode = jnp.int32(2)  # AV — the separator's distribution
+    # --mode_schedule random:<pa>,<pv>,<pav>: weighted PER-STEP modality
+    # dropout on top of the AV anchor (mode is a traced scalar — no
+    # recompile). cycle/random01 stay unsupported here: their long
+    # zeroed-modality phases poison BatchNorm running stats for the
+    # separation eval (docs/STATUS.md round 2 item 8); a mostly-AV weighted
+    # draw is the curriculum form this curve can evaluate fairly.
+    mode_probs = None
+    if cfg.mode_schedule and cfg.mode_schedule.startswith("random:"):
+        ws = np.asarray([float(x) for x in
+                         cfg.mode_schedule[len("random:"):].split(",")])
+        mode_probs = ws / ws.sum()
+    elif cfg.mode_schedule and cfg.mode_schedule != "fixed":
+        raise SystemExit("quality_curve supports --mode_schedule fixed or "
+                         "random:<pa>,<pv>,<pav> (see comment)")
+    np_rng = np.random.default_rng(cfg.seed)
 
     def evaluate(at_step):
         sdrs, gains = [], []
@@ -104,12 +119,22 @@ def main() -> None:
         print(json.dumps(rec), flush=True)
         return rec
 
+    from maavss_tpu.train.setup import resolve_noise_schedule
+
+    noise_fn = resolve_noise_schedule(cfg)
+
     evaluate(0)
     t0 = time.perf_counter()
     loss = float("nan")
     for s in range(1, own.steps + 1):
         rng, sub = jax.random.split(rng)
-        state, metrics = step(state, next(train_it), sub, mode)
+        m = (mode if mode_probs is None
+             else jnp.int32(np_rng.choice(3, p=mode_probs)))
+        if noise_fn is not None:
+            state, metrics = step(state, next(train_it), sub, m,
+                                  jnp.float32(noise_fn(s - 1)))
+        else:
+            state, metrics = step(state, next(train_it), sub, m)
         if s % own.eval_every == 0:
             loss = float(metrics["loss"])  # fetch-closes the segment
             rec = evaluate(s)
