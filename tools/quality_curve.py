@@ -37,6 +37,14 @@ def main() -> None:
     pre.add_argument("--eval_every", type=int, default=500)
     pre.add_argument("--eval_batches", type=int, default=2)
     pre.add_argument("--out", default="runs/quality_curve.jsonl")
+    pre.add_argument("--anchor_file", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", "fixtures", "eval_anchor.json"),
+        help="committed eval-anchor pin (VERDICT r4 item 4)")
+    pre.add_argument("--pin_anchor", action="store_true",
+                     help="write the measured anchor to --anchor_file")
+    pre.add_argument("--allow_anchor_drift", action="store_true",
+                     help="downgrade an anchor mismatch to a loud relabel")
     own, rest = pre.parse_known_args()
 
     from maavss_tpu.config import model_args
@@ -48,6 +56,12 @@ def main() -> None:
         cfg = cfg.replace(epochs=1, steps_per_epoch=own.steps)
 
     import jax
+
+    if os.environ.get("MAAVSS_QC_CPU"):
+        # the axon site hook silently re-forces JAX_PLATFORMS=axon; this is
+        # the only reliable CPU escape (CLAUDE.md). Used to pin/check the
+        # eval anchor without holding the relay.
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
@@ -107,23 +121,92 @@ def main() -> None:
     np_rng = np.random.default_rng(cfg.seed)
 
     def evaluate(at_step):
-        sdrs, gains = [], []
+        sdrs, gains, noisy = [], [], []
         for i, vb in enumerate(val_batches):
             out = separate(state, vb, jax.random.PRNGKey(cfg.seed + 100 + i))
             sdrs.extend(np.asarray(out["si_sdr"]).tolist())
             gains.extend(np.asarray(out["si_sdr_gain"]).tolist())
+            noisy.extend(np.asarray(out["si_sdr_noisy"]).tolist())
         rec = {"step": at_step, "si_sdr": float(np.mean(sdrs)),
-               "si_sdr_gain": float(np.mean(gains)), "n_clips": len(sdrs),
+               "si_sdr_gain": float(np.mean(gains)),
+               "noisy_anchor": float(np.mean(noisy)), "n_clips": len(sdrs),
                "ts": time.time()}
+        if anchor_drift:
+            rec["anchor_drift"] = True
         fh.write(json.dumps(rec) + "\n")
         print(json.dumps(rec), flush=True)
         return rec
+
+    # --- eval-anchor pin (VERDICT r4 item 4) -------------------------------
+    # The noisy-mixture SI-SDR of the eval set is model-independent; it
+    # drifted 4.22 -> 5.82 dB between the r3 and r4 code windows, voiding
+    # cross-window quality comparisons. Pin it: the committed fixture stores
+    # the anchor + a content hash of the eval batches for the canonical
+    # recipe; any future run on that recipe either matches (comparable scale)
+    # or refuses/relabels. Reference context: the denoising objective at
+    # /root/reference/av_dataset.py:217-220.
+    import hashlib
+
+    h = hashlib.sha256()
+    for vb in val_batches:
+        for k in sorted(vb):
+            h.update(np.ascontiguousarray(
+                np.asarray(vb[k], dtype=np.float32)).tobytes())
+    batch_sha = h.hexdigest()
+    recipe = {"regime": own.regime, "data_path": cfg.data_path,
+              "batch_size": cfg.batch_size, "eval_batches": own.eval_batches,
+              "seed": cfg.seed, "split": cfg.split,
+              "noise_scalar": cfg.noise_scalar, "fft_len": cfg.fft_len,
+              "hop": cfg.hop, "use_polar": cfg.use_polar,
+              "normalize_fft": cfg.normalize_fft,
+              "normalize_output_fft": cfg.normalize_output_fft,
+              "num_frames": cfg.num_frames, "num_seq": cfg.num_seq}
+    anchor_drift = False
+    pinned = None
+    if os.path.exists(own.anchor_file) and not own.pin_anchor:
+        with open(own.anchor_file) as f:
+            pinned = json.load(f)
+        if pinned.get("recipe") != recipe:
+            print(f"[anchor] recipe differs from {own.anchor_file} — "
+                  "anchor not enforced for this configuration", flush=True)
+            pinned = None
 
     from maavss_tpu.train.setup import resolve_noise_schedule
 
     noise_fn = resolve_noise_schedule(cfg)
 
-    evaluate(0)
+    rec0 = evaluate(0)
+    if own.pin_anchor:
+        os.makedirs(os.path.dirname(own.anchor_file) or ".", exist_ok=True)
+        with open(own.anchor_file, "w") as f:
+            json.dump({"recipe": recipe, "batch_sha256": batch_sha,
+                       "anchor_db": rec0["noisy_anchor"],
+                       "platform": jax.default_backend(),
+                       "pinned_at": time.strftime("%Y-%m-%d")}, f, indent=1)
+        print(f"[anchor] pinned {rec0['noisy_anchor']:.4f} dB "
+              f"(batches {batch_sha[:12]}) -> {own.anchor_file}", flush=True)
+    elif pinned is not None:
+        tol = 0.1  # dB; absorbs bf16/fp32 backend noise, catches code drift
+        drift = abs(rec0["noisy_anchor"] - pinned["anchor_db"])
+        if pinned.get("batch_sha256") != batch_sha:
+            msg = (f"[anchor] EVAL BATCHES CHANGED (sha {batch_sha[:12]} != "
+                   f"pinned {pinned['batch_sha256'][:12]})")
+        elif drift > tol:
+            msg = (f"[anchor] ANCHOR DRIFT {rec0['noisy_anchor']:.3f} dB vs "
+                   f"pinned {pinned['anchor_db']:.3f} (|d|={drift:.3f} > {tol})")
+        else:
+            msg = None
+            print(f"[anchor] ok: {rec0['noisy_anchor']:.3f} dB vs pinned "
+                  f"{pinned['anchor_db']:.3f} (|d|={drift:.3f})", flush=True)
+        if msg:
+            if not own.allow_anchor_drift:
+                raise SystemExit(
+                    msg + " — SI-SDR from this run is NOT comparable to the "
+                    "pinned record. Re-pin with --pin_anchor (and re-run the "
+                    "control) or pass --allow_anchor_drift to relabel.")
+            anchor_drift = True
+            print(msg + " — records relabeled with anchor_drift=true",
+                  flush=True)
     t0 = time.perf_counter()
     loss = float("nan")
     for s in range(1, own.steps + 1):
