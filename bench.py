@@ -254,7 +254,21 @@ def main() -> None:
         f"({step_s*1e3:.2f} ms/step, spread {spread*100:.1f}%, "
         f"loadavg {load_before:.2f}->{load_after:.2f})")
 
+    # The PUBLISHED ratio uses a PINNED torch-CPU baseline leg
+    # (benchmarks/baseline_pin.json: median of load-disciplined idle-host
+    # measurements) — the per-run fresh leg swung the ratio 2x across rounds
+    # (4,126x r3c .. 8,060x BENCH_r04) purely from host load on the CPU leg
+    # (round-4 VERDICT item 5). The fresh leg is still measured and emitted
+    # (vs_baseline_fresh) so drift in the torch environment stays visible.
     vs_baseline = None
+    fresh_ratio = None
+    base_cps = None
+    pinned_cps = None
+    pin_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "benchmarks", "baseline_pin.json")
+    if os.path.exists(pin_path):
+        with open(pin_path) as f:
+            pinned_cps = json.load(f)["torch_cpu_clips_per_sec"]
     try:
         if os.environ.get("MAAVSS_BENCH_SKIP_BASELINE") == "1":
             raise RuntimeError("baseline skipped by env")
@@ -264,15 +278,26 @@ def main() -> None:
         ref_cfg = RunConfig()  # reference defaults: batch 4
         base_cps, base_b = measure_torch_cpu_clips_per_sec(ref_cfg)
         log(f"bench: torch-cpu baseline {base_cps:.2f} clips/s (batch {base_b})")
-        vs_baseline = clips_per_chip / base_cps
+        fresh_ratio = clips_per_chip / base_cps
     except Exception as e:  # torch baseline is best-effort
         log(f"bench: torch baseline failed: {e}")
+    if pinned_cps:
+        vs_baseline = clips_per_chip / pinned_cps
+        log(f"bench: vs_baseline {vs_baseline:.0f}x (pinned leg "
+            f"{pinned_cps:.2f} clips/s; fresh leg would give "
+            f"{fresh_ratio:.0f}x)" if fresh_ratio else
+            f"bench: vs_baseline {vs_baseline:.0f}x (pinned leg)")
+    else:
+        vs_baseline = fresh_ratio
 
     print(json.dumps({
         "metric": "av_clips_per_sec_per_chip",
         "value": round(clips_per_chip, 3),
         "unit": "clips/s/chip",
         "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+        "vs_baseline_fresh": round(fresh_ratio, 3) if fresh_ratio else None,
+        "baseline_pinned_cps": pinned_cps,
+        "baseline_fresh_cps": round(base_cps, 3) if base_cps else None,
         "spread": round(spread, 4),
         "windows": [round(w, 1) for w in window_cps],
         "regime": regime,

@@ -30,6 +30,7 @@ def test_dryrun_multichip_bare_subprocess():
     assert "fusion dp microbatch=2 ok" in out.stdout
     assert "frames(full) ok" in out.stdout
     assert "frames(full) dpxtp ok" in out.stdout
+    assert "separator(fusion_encode=full) ok" in out.stdout
     assert "'data': 4, 'model': 2" in out.stdout
 
 
