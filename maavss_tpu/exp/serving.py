@@ -140,13 +140,20 @@ class BatchingExecutor:
         return out
 
     # ---- device side ------------------------------------------------------
-    def _take_group(self) -> Optional[List[_Pending]]:
+    def _take_group(self, block: bool = True) -> Optional[List[_Pending]]:
         """Collect requests up to the pinned batch or max_wait; honors a
-        holdover request that did not fit the previous group."""
+        holdover request that did not fit the previous group.
+
+        `block=False` (used while a batch is in flight on the device) polls
+        instead of blocking: returns [] when there is no work, so the caller
+        can resolve the in-flight batch without delay."""
         first = self._holdover
         self._holdover = None
         if first is None:
-            first = self._queue.get()  # block for work
+            try:
+                first = self._queue.get(block=block)
+            except queue.Empty:
+                return []
             if first is _STOP:
                 return None
         group, rows = [first], first.audio.shape[0]
@@ -169,46 +176,76 @@ class BatchingExecutor:
             rows += nxt.audio.shape[0]
         return group
 
-    def _loop(self) -> None:
-        while True:
-            group = self._take_group()
-            if group is None:
-                return
-            rows = sum(p.audio.shape[0] for p in group)
-            audio = np.zeros(self.audio_spec.shape, self.audio_spec.dtype)
-            visual = np.zeros(self.visual_spec.shape, self.visual_spec.dtype)
-            ofs = 0
-            for p in group:
-                n = p.audio.shape[0]
-                audio[ofs:ofs + n] = p.audio
-                visual[ofs:ofs + n] = p.visual
-                ofs += n
+    def _dispatch(self, group: List[_Pending]):
+        """Pad/stack the group and dispatch it to the device WITHOUT
+        fetching — jax dispatch is asynchronous, so the returned handle's
+        compute overlaps the caller's next host work."""
+        rows = sum(p.audio.shape[0] for p in group)
+        audio = np.zeros(self.audio_spec.shape, self.audio_spec.dtype)
+        visual = np.zeros(self.visual_spec.shape, self.visual_spec.dtype)
+        ofs = 0
+        for p in group:
+            n = p.audio.shape[0]
+            audio[ofs:ofs + n] = p.audio
+            visual[ofs:ofs + n] = p.visual
+            ofs += n
+        try:
+            dev_out = self.exported.call(
+                self.variables["params"], self.variables["batch_stats"],
+                audio, visual)
+            return group, rows, dev_out, None
+        except Exception as e:
+            return group, rows, None, e
+
+    def _resolve(self, inflight) -> None:
+        """Fetch the device result (blocks until the batch is really done),
+        scatter rows to their requests, and fire the events."""
+        group, rows, dev_out, err = inflight
+        if err is None:
             try:
-                out = np.asarray(self.exported.call(
-                    self.variables["params"], self.variables["batch_stats"],
-                    audio, visual))
+                out = np.asarray(dev_out)
                 ofs = 0
                 for p in group:
                     n = p.audio.shape[0]
                     p.result = out[ofs:ofs + n]
                     ofs += n
-            except Exception as e:  # resolve the whole group with the error
-                for p in group:
-                    p.error = e
-                with self._lock:
-                    self.stats["errors"] += 1
-            now = time.perf_counter()
-            with self._lock:
-                self.stats["requests"] += len(group)
-                self.stats["rows"] += rows
-                self.stats["batches"] += 1
-                self.stats["rows_padded"] += self.batch - rows
-                for p in group:
-                    self._lat_ms.append((now - p.t_enqueue) * 1e3)
-                if len(self._lat_ms) > 4096:
-                    del self._lat_ms[:-2048]
+            except Exception as e:
+                err = e
+        if err is not None:
             for p in group:
-                p.event.set()
+                p.error = err
+            with self._lock:
+                self.stats["errors"] += 1
+        now = time.perf_counter()
+        with self._lock:
+            self.stats["requests"] += len(group)
+            self.stats["rows"] += rows
+            self.stats["batches"] += 1
+            self.stats["rows_padded"] += self.batch - rows
+            for p in group:
+                self._lat_ms.append((now - p.t_enqueue) * 1e3)
+            if len(self._lat_ms) > 4096:
+                del self._lat_ms[:-2048]
+        for p in group:
+            p.event.set()
+
+    def _loop(self) -> None:
+        # Pipelined: while batch k runs on the device, this thread pads,
+        # stacks, and DISPATCHES batch k+1 (async), only then fetches k —
+        # host-side request prep and response scatter overlap device compute
+        # instead of serializing with it (round-4 VERDICT item 6; the direct
+        # path hit 123.3 clips/s at b32 while the daemon sat at 87.8).
+        # With nothing queued (_take_group(block=False) -> []), k resolves
+        # immediately — a lone client never pays pipeline latency.
+        inflight = None
+        while True:
+            group = self._take_group(block=inflight is None)
+            nxt = self._dispatch(group) if group else None
+            if inflight is not None:
+                self._resolve(inflight)
+            inflight = nxt
+            if group is None:  # _STOP
+                return
 
 
 def _npz_bytes(**arrays) -> bytes:
@@ -249,6 +286,10 @@ def make_handler(executor: BatchingExecutor, info: Dict[str, Any],
                 length = int(self.headers.get("Content-Length", "0"))
                 with np.load(io.BytesIO(self.rfile.read(length))) as z:
                     audio, visual = z["audio"], z["visual"]
+                # f16 audio wire: a client may send float16 rows (half the
+                # dominant payload; f16's 11-bit mantissa beats bf16's 8 for
+                # unit-scale audio) — the reply mirrors the request dtype.
+                half_wire = audio.dtype == np.float16
                 pending = executor.submit(audio, visual)
             except (ValueError, KeyError, OSError) as e:
                 self._json(400, {"error": str(e)})
@@ -259,7 +300,10 @@ def make_handler(executor: BatchingExecutor, info: Dict[str, Any],
             if pending.error is not None:
                 self._json(500, {"error": str(pending.error)})
                 return
-            body = _npz_bytes(audio_out=pending.result)
+            result = pending.result
+            if half_wire:
+                result = result.astype(np.float16)
+            body = _npz_bytes(audio_out=result)
             self.send_response(200)
             self.send_header("Content-Type", "application/octet-stream")
             self.send_header("Content-Length", str(len(body)))
@@ -305,6 +349,78 @@ class SeparationServer:
         self.httpd.shutdown()
         self.httpd.server_close()
         self.executor.stop()
+
+
+class SeparationClient:
+    """Persistent-connection client (round-4 VERDICT item 6: the old
+    per-request urlopen paid a TCP connect + teardown on every call).
+
+    One `http.client.HTTPConnection` is kept open across calls (HTTP/1.1
+    keep-alive; the daemon sends Content-Length on every response) and
+    reopened transparently if the server closed it. `half_wire=True` sends
+    float16 audio and receives float16 back — half the wire bytes on the
+    dominant payload; the result is upcast to float32 host-side.
+
+    Not thread-safe: use one client per thread (tools/serve_client.py does).
+    """
+
+    def __init__(self, url: str, half_wire: bool = False,
+                 timeout: float = 120.0):
+        from urllib.parse import urlparse
+
+        u = urlparse(url if "//" in url else "http://" + url)
+        self._host, self._port = u.hostname, u.port or 80
+        self._timeout = timeout
+        self.half_wire = half_wire
+        self._conn = None
+
+    def _connect(self):
+        import http.client
+
+        self._conn = http.client.HTTPConnection(
+            self._host, self._port, timeout=self._timeout)
+        return self._conn
+
+    def close(self) -> None:
+        if self._conn is not None:
+            self._conn.close()
+            self._conn = None
+
+    def _roundtrip(self, method: str, path: str, body=None):
+        import http.client
+
+        conn = self._conn or self._connect()
+        for attempt in (0, 1):
+            try:
+                conn.request(method, path, body=body,
+                             headers={"Content-Type":
+                                      "application/octet-stream"}
+                             if body else {})
+                resp = conn.getresponse()
+                return resp.status, resp.read()
+            except (http.client.HTTPException, ConnectionError, OSError):
+                if attempt:
+                    raise
+                self.close()
+                conn = self._connect()  # stale keep-alive: reconnect once
+
+    def separate(self, audio: np.ndarray, visual: np.ndarray) -> np.ndarray:
+        if self.half_wire:
+            audio = np.asarray(audio).astype(np.float16)
+        status, data = self._roundtrip(
+            "POST", "/v1/separate", _npz_bytes(audio=audio, visual=visual))
+        if status != 200:
+            raise RuntimeError(f"separate failed: HTTP {status} "
+                               f"{data[:200]!r}")
+        with np.load(io.BytesIO(data)) as z:
+            out = z["audio_out"]
+        return out.astype(np.float32) if out.dtype == np.float16 else out
+
+    def get_json(self, path: str) -> Dict[str, Any]:
+        status, data = self._roundtrip("GET", path)
+        if status != 200:
+            raise RuntimeError(f"GET {path}: HTTP {status}")
+        return json.loads(data)
 
 
 def separate_over_http(url: str, audio: np.ndarray,

@@ -121,6 +121,67 @@ def test_oversize_and_misshaped_requests_rejected(served):
     assert ei.value.code == 404
 
 
+def test_f16_wire_roundtrip(served):
+    """float16 request audio -> float16 response, matching the f32 path
+    within f16 quantization (round-5 wire cut)."""
+    url, _, direct = served
+    audio, visual = random_serving_inputs(CFG, 2, seed=5)
+    from maavss_tpu.exp.serving import SeparationClient
+
+    client = SeparationClient(url, half_wire=True)
+    out = client.separate(audio, visual)
+    client.close()
+    assert out.dtype == np.float32  # upcast host-side
+    want = direct(np.concatenate([audio] * (CFG.batch_size // 2)),
+                  np.concatenate([visual] * (CFG.batch_size // 2)))[:2]
+    # two f16 quantizations (request + response) on unit-scale audio
+    np.testing.assert_allclose(out, want, atol=2e-3, rtol=2e-3)
+
+
+def test_persistent_client_reuses_connection(served):
+    url, executor, direct = served
+    from maavss_tpu.exp.serving import SeparationClient
+
+    audio, visual = random_serving_inputs(CFG, 1, seed=6)
+    client = SeparationClient(url)
+    outs = [client.separate(audio, visual) for _ in range(3)]
+    conn = client._conn
+    assert conn is not None  # connection survived across calls
+    out4 = client.separate(audio, visual)
+    assert client._conn is conn
+    client.close()
+    want = direct(np.concatenate([audio] * CFG.batch_size),
+                  np.concatenate([visual] * CFG.batch_size))[:1]
+    for o in outs + [out4]:
+        np.testing.assert_allclose(o, want, rtol=1e-5, atol=1e-6)
+
+
+def test_pipelined_executor_burst_correctness(served):
+    """A burst of distinct full batches keeps the executor's k/k+1 pipeline
+    busy; every response must still match its own direct result."""
+    url, _, direct = served
+    from maavss_tpu.exp.serving import SeparationClient
+
+    batches = [random_serving_inputs(CFG, CFG.batch_size, seed=10 + i)
+               for i in range(4)]
+    results = [None] * len(batches)
+
+    def one(i):
+        client = SeparationClient(url)
+        results[i] = client.separate(*batches[i])
+        client.close()
+
+    threads = [threading.Thread(target=one, args=(i,))
+               for i in range(len(batches))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i, (audio, visual) in enumerate(batches):
+        np.testing.assert_allclose(results[i], direct(audio, visual),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_health_and_stats_endpoints(served):
     url, _, _ = served
     with urlopen(url + "/healthz") as resp:

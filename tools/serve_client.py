@@ -36,11 +36,17 @@ def main() -> None:
     pre.add_argument("--calls", type=int, default=50)
     pre.add_argument("--warmup", type=int, default=3)
     pre.add_argument("--concurrency", type=int, default=4)
+    pre.add_argument("--wire", choices=("f32", "f16"), default="f16",
+                     help="audio wire dtype both directions (f16 halves the "
+                          "dominant payload; daemon mirrors request dtype)")
+    pre.add_argument("--no_keepalive", action="store_true",
+                     help="legacy mode: reconnect per request (the pre-r5 "
+                          "client behavior, for A/B)")
     own, rest = pre.parse_known_args()
 
     from maavss_tpu.config import model_args
     from maavss_tpu.exp.export import random_serving_inputs
-    from maavss_tpu.exp.serving import separate_over_http
+    from maavss_tpu.exp.serving import SeparationClient, separate_over_http
 
     with urlopen(own.url.rstrip("/") + "/healthz") as resp:
         health = json.loads(resp.read())
@@ -59,11 +65,22 @@ def main() -> None:
     lock = threading.Lock()
     err: list = []
 
+    half_wire = own.wire == "f16"
+
     def worker(n_calls: int) -> None:
+        # one persistent keep-alive connection per thread (the legacy mode
+        # reconnects per call — measured A/B in BASELINE.md round 5)
+        client = None if own.no_keepalive else SeparationClient(
+            own.url, half_wire=half_wire)
+        snd_audio = audio.astype(np.float16) if (own.no_keepalive
+                                                 and half_wire) else audio
         for _ in range(n_calls):
             t0 = time.perf_counter()
             try:
-                out = separate_over_http(own.url, audio, visual)
+                if client is not None:
+                    out = client.separate(audio, visual)
+                else:
+                    out = separate_over_http(own.url, snd_audio, visual)
                 assert out.shape[0] == own.rows
             except Exception as e:  # noqa: BLE001 — report, don't crash
                 with lock:
@@ -71,9 +88,13 @@ def main() -> None:
                 return
             with lock:
                 lat.append((time.perf_counter() - t0) * 1e3)
+        if client is not None:
+            client.close()
 
+    warm = SeparationClient(own.url, half_wire=half_wire)
     for _ in range(own.warmup):
-        separate_over_http(own.url, audio, visual)
+        warm.separate(audio, visual)
+    warm.close()
     per = max(1, own.calls // own.concurrency)
     threads = [threading.Thread(target=worker, args=(per,))
                for _ in range(own.concurrency)]
@@ -103,6 +124,8 @@ def main() -> None:
         "concurrency": own.concurrency,
         "daemon_mean_fill": stats.get("mean_fill"),
         "daemon_batches": stats.get("batches"),
+        "wire": own.wire,
+        "keepalive": not own.no_keepalive,
     }))
 
 
