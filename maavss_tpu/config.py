@@ -113,6 +113,15 @@ class RunConfig:
     #   nf*num_seq -> nf+num_seq-1 frame-convs (~2.9x FLOP cut at the
     #   defaults). Deviations documented at train/steps.py:make_full_loss;
     #   identical when num_seq == 1.
+    frames_halo: int = 0  # --frames_encode full only: train each latent
+    #   window with k REAL context frames on each side (dataset clips extend
+    #   by 2k frames; windows slice at offset k). Makes every training window
+    #   interior-like — the distribution the full-encode separator sees at
+    #   eval, where windows almost always have real neighbors — targeting the
+    #   measured -0.25 dB full-vs-window gap (BASELINE.md r3e/r3f; diagnosis:
+    #   window-edge temporal context). Costs (nf+ns-1+2k)/(nf+ns-1) extra
+    #   trunk input (~+18% at k=1, defaults). Eval clips stay UNPADDED so
+    #   SI-SDR remains on the pinned anchor scale (tools/quality_curve.py).
     fusion_encode: str = "window"  # fusion-regime encoders: window | full.
     #   'window' (re-)encodes each of the num_seq overlapping windows
     #   (reference semantics, train.py:123-162 — scan and vectorized modes
@@ -336,6 +345,10 @@ def build_parser(parser: Optional[argparse.ArgumentParser] = None) -> argparse.A
                         "window (reference semantics) or encode the full "
                         "frame sequence once and slice latent windows "
                         "(~2.9x fewer conv3d FLOPs; see config.py notes)")
+    p.add_argument("--frames_halo", type=int, default=0,
+                   help="with --frames_encode full: real-context halo frames "
+                        "per side for each training window (clips extend by "
+                        "2k frames; see config.py notes)")
     p.add_argument("--fusion_encode", type=str, default="window",
                    choices=("window", "full"),
                    help="fusion-regime encoders: re-encode each sliding "

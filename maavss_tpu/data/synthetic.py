@@ -105,7 +105,7 @@ def synthetic_av_batch(cfg: RunConfig, batch: int, seed: int = 0,
     - 'frames': [B, T_total, fs, fs] blob frames whose motion follows the
       per-frame audio RMS envelope (fs defaults to cfg.p_size).
     """
-    t_total = cfg.num_frames + cfg.num_seq
+    t_total = cfg.num_frames + cfg.num_seq + 2 * getattr(cfg, "frames_halo", 0)
     s_total = cfg.hop * cfg.hops_per_frame * t_total
     audio = sine_sweep_audio(seed, batch, s_total, cfg.samplerate)
     frame_env = audio.reshape(batch, t_total, -1)

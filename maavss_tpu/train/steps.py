@@ -773,6 +773,12 @@ def make_frames_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
     encode = getattr(cfg, "frames_encode", "window")
     if encode not in ("window", "full"):
         raise ValueError(f"unknown frames_encode {encode!r} (window|full)")
+    halo = int(getattr(cfg, "frames_halo", 0))
+    if halo and encode != "full":
+        raise ValueError("--frames_halo needs --frames_encode full (window "
+                         "mode already zero-pads each window's own edges)")
+    if halo < 0:
+        raise ValueError(f"--frames_halo must be >= 0, got {halo}")
 
     def make_window_loss(frames, x_full, y_full, masks):
         a_in_mask, v_in_mask, ya_mask, yv_mask = masks
@@ -829,25 +835,30 @@ def make_frames_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
             return wins.reshape((-1,) + wins.shape[2:])
 
         def full_loss(params, bstats, frames, x_full, y_full):
-            # encode exactly the frames the ns windows cover (nf+ns-1) — any
+            # encode exactly the frames the ns windows cover (nf+ns-1, plus
+            # `halo` real context frames per side when --frames_halo is set —
+            # window j then starts at halo+j, so every training window sees
+            # real neighbors like the separator's interior windows do) — any
             # tail beyond that would leak temporal context into the last
             # window's conv padding and shift the BN batch statistics
-            fr_used = jax.lax.slice_in_dim(frames, 0, nf + ns - 1, axis=1)
+            fr_used = jax.lax.slice_in_dim(frames, 0, nf + ns - 1 + 2 * halo,
+                                           axis=1)
             x_v_all = jnp.transpose(fr_used, (0, 2, 1, 3, 4))  # [B,1,T,H,W]
             v_lat, mut = enc_fwd(params, bstats, x_v_all * v_in_mask)
             bstats = mut["batch_stats"]
             lat_b = fold(jnp.stack(
-                [jax.lax.slice_in_dim(v_lat, j, j + nf, axis=2)
+                [jax.lax.slice_in_dim(v_lat, halo + j, halo + j + nf, axis=2)
                  for j in range(ns)], axis=1))
             xs_b = fold(jnp.stack(
-                [jax.lax.slice_in_dim(x_full, j * a, j * a + nf * a, axis=2)
+                [jax.lax.slice_in_dim(x_full, (halo + j) * a,
+                                      (halo + j) * a + nf * a, axis=2)
                  for j in range(ns)], axis=1))
             ys_b = fold(jnp.stack(
-                [jax.lax.slice_in_dim(y_full, (j + idx_middle) * a,
-                                      (j + idx_middle) * a + a, axis=2)
+                [jax.lax.slice_in_dim(y_full, (halo + j + idx_middle) * a,
+                                      (halo + j + idx_middle) * a + a, axis=2)
                  for j in range(ns)], axis=1))
             yv_b = fold(jnp.stack(
-                [frames[:, j + idx_middle] for j in range(ns)], axis=1))
+                [frames[:, halo + j + idx_middle] for j in range(ns)], axis=1))
             (yh_a, yh_v, _), mut2 = heads_fwd(params, bstats,
                                               xs_b * a_in_mask, lat_b)
             a_loss = mse(yh_a, ys_b * ya_mask)

@@ -119,3 +119,57 @@ def test_frames_encode_rejects_unknown():
     model, vs = build(CFG, 4)
     with pytest.raises(ValueError, match="frames_encode"):
         make_frames_step(model, CFG.replace(frames_encode="bogus"))
+
+
+# --- --frames_halo (round 5: real-context training windows) -----------------
+
+
+def test_halo_requires_full_encode():
+    model, vs = build(CFG, 4)
+    with pytest.raises(ValueError, match="frames_halo"):
+        make_frames_step(model, CFG.replace(frames_encode="window",
+                                            frames_halo=1))
+
+
+def test_halo_step_runs_and_learns():
+    cfg = CFG.replace(frames_encode="full", frames_halo=1)
+    model, vs = build(cfg, 4)
+    batch = synthetic_av_batch(cfg, 4, seed=4, frame_size=cfg.framesize)
+    # synthetic batches honor the halo: 2 extra frames + their audio
+    assert batch["frames"].shape[1] == cfg.num_frames + cfg.num_seq + 2
+    state = create_train_state(
+        jax.tree_util.tree_map(jnp.copy, vs),
+        make_optimizer(1e-3, "adam"))
+    step = make_frames_step(model, cfg)
+    losses = []
+    for i in range(12):
+        state, metrics = step(state, batch, jax.random.PRNGKey(1),
+                              jnp.int32(2))
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
+def test_halo_zero_context_approximates_halo0_and_slices_align():
+    """With ZERO halo frames/audio, halo=1 must sit near halo=0 on the
+    center-cropped batch — only BN statistics over the two extra zero frames
+    differ. This is also the slicing canary: an off-by-one in the window or
+    target offsets would compare different frames' content (the blobs move
+    per frame) and miss by far more than the BN drift tolerance."""
+    cfg0 = CFG.replace(frames_encode="full", noise_scalar=0.0)
+    cfg1 = cfg0.replace(frames_halo=1)
+    model, vs = build(cfg0, 4)
+
+    batch1 = synthetic_av_batch(cfg1, 4, seed=5, frame_size=cfg0.framesize)
+    s_hop = batch1["audio"].shape[1] // batch1["frames"].shape[1]  # per frame
+    zeroed = {k: v.copy() for k, v in batch1.items()}
+    zeroed["frames"][:, 0] = 0
+    zeroed["frames"][:, -1] = 0
+    zeroed["audio"][:, :s_hop] = 0
+    zeroed["audio"][:, -s_hop:] = 0
+    cropped = {"frames": zeroed["frames"][:, 1:-1],
+               "audio": zeroed["audio"][:, s_hop:-s_hop]}
+
+    loss0, _ = run_step(model, vs, cfg0, cropped)
+    loss1, _ = run_step(model, vs, cfg1, zeroed)
+    assert loss1 == pytest.approx(loss0, rel=0.25)  # BN-stat drift only

@@ -79,10 +79,19 @@ def main() -> None:
 
     init_runtime()
     frames, audio = load_stores(cfg)
+    pg = None if own.regime == "frames" else load_pgram_store(cfg)
     dataset = AVDataset(cfg, frames, audio, cfg.num_frames + cfg.num_seq,
-                        pgrams=None if own.regime == "frames"
-                        else load_pgram_store(cfg))
+                        pgrams=pg)
+    # --frames_halo extends TRAIN clips by 2k frames (window context); the
+    # EVAL set stays at the standard clip length, so it is IDENTICAL to a
+    # halo-0 run's eval set and the pinned anchor still applies.
+    halo = cfg.frames_halo if own.regime == "frames" else 0
+    train_ds = dataset if not halo else AVDataset(
+        cfg, frames, audio, cfg.num_frames + cfg.num_seq + 2 * halo,
+        pgrams=pg)
     tr_idx, va_idx = split_train_val(len(dataset), cfg.split, cfg.seed)
+    if halo:
+        tr_idx, _ = split_train_val(len(train_ds), cfg.split, cfg.seed)
     if len(va_idx) < cfg.batch_size:
         va_idx = np.arange(len(dataset))
 
@@ -96,7 +105,7 @@ def main() -> None:
         step = make_fusion_step(model, cfg, window_mode=cfg.window_mode)
         separate = make_separator(model, cfg)
 
-    train_it = make_stream(cfg, dataset, tr_idx, None, cfg.seed)
+    train_it = make_stream(cfg, train_ds, tr_idx, None, cfg.seed)
     val_it = make_stream(cfg, dataset, va_idx, None, cfg.seed + 1)
     val_batches = [next(val_it) for _ in range(own.eval_batches)]
 

@@ -27,7 +27,7 @@ def train(config: RunConfig = None):
     cfg = config or model_args()
     init_runtime()
     frames, audio = load_stores(cfg)
-    clip_len = cfg.num_frames + cfg.num_seq
+    clip_len = cfg.num_frames + cfg.num_seq + 2 * cfg.frames_halo
     dataset = AVDataset(cfg, frames, audio, clip_len)
     tr_idx, va_idx = split_train_val(len(dataset), cfg.split, cfg.seed)
     mesh = default_mesh(cfg)
