@@ -49,6 +49,15 @@ def _mask_mul_kernel(re_ref, im_ref, mre_ref, mim_ref, ore_ref, oim_ref):
 
 
 def _mask_mul(re, im, mre, mim):
+    # MAAVSS_MASK_IMPL=xla: plain jnp complex multiply. Same math; unlike the
+    # Pallas call it is FUSABLE — in the --fusion_encode full step the stft
+    # operand is a stack of overlapping window slices that XLA can feed
+    # straight into the multiply instead of materializing the [B*ns,...] fold
+    # as a Pallas kernel input (round-5 byte cut; A/B in BASELINE.md).
+    import os
+
+    if os.environ.get("MAAVSS_MASK_IMPL", "auto") == "xla":
+        return re * mre - im * mim, re * mim + im * mre
     grid, in_specs, out_spec = _tile_specs(re.shape, 4)
     out = jax.ShapeDtypeStruct(re.shape, re.dtype)
     return pl.pallas_call(

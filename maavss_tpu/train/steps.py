@@ -509,6 +509,18 @@ def make_fusion_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
         # (tests/test_fusion_fullenc.py). This path supersedes window_mode —
         # the heads are vectorized over windows by construction.
         hop_a, hop_v, t_win = _fusion_full_geometry(model, cfg)
+        # MAAVSS_FULLENC_LOSS: how the two mse targets meet the folded head
+        # outputs. 'fold' materializes ys_b/ypg_b window copies ([B*ns,...]
+        # stacks — ypg_b alone is B*ns*nf*p^2, ~2.9x the span it duplicates);
+        # 'slice' reshapes the head output to [B,ns,...] and reduces each
+        # window against a plain slice of the span tensor — same math
+        # (windows have equal element counts, so mean-of-window-means ==
+        # global mean up to fp reduction order), fewer bytes on a step
+        # measured AT the HBM roofline (r4i: fc_heads span 2.36 GB).
+        loss_impl = os.environ.get("MAAVSS_FULLENC_LOSS", "fold")
+        if loss_impl not in ("fold", "slice"):
+            raise ValueError(
+                f"MAAVSS_FULLENC_LOSS={loss_impl!r} (fold|slice)")
 
         def enc_fwd(params, bstats, x_a_full, x_v_full):
             return model.apply(
@@ -558,12 +570,27 @@ def make_fusion_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
                     lat_a_b = wins(a_lat, 2, hop_a, t_win)
                     lat_v_b = wins(v_lat, 2, hop_v, t_win)
                     xs_b = wins(x_f, 2, a, nf * a)
-                    ys_b = wins(y_f, 2, a, nf * a)
-                    ypg_b = wins(pg_full, 2, 1, nf)
                     yh_a, yh_v, _ = heads_fwd(params, bstats, lat_a_b,
                                               lat_v_b, xs_b * a_mask)
-                    a_loss = mse(yh_a, ys_b * ya_mask)
-                    v_loss = mse(yh_v, ypg_b)
+                    if loss_impl == "slice":
+                        yh_aw = yh_a.reshape((-1, ns) + yh_a.shape[1:])
+                        yh_vw = yh_v.reshape((-1, ns) + yh_v.shape[1:])
+                        a_loss = sum(
+                            mse(yh_aw[:, j],
+                                jax.lax.slice_in_dim(y_f, j * a,
+                                                     j * a + nf * a, axis=2)
+                                * ya_mask)
+                            for j in range(ns)) / ns
+                        v_loss = sum(
+                            mse(yh_vw[:, j],
+                                jax.lax.slice_in_dim(pg_full, j, j + nf,
+                                                     axis=2))
+                            for j in range(ns)) / ns
+                    else:
+                        ys_b = wins(y_f, 2, a, nf * a)
+                        ypg_b = wins(pg_full, 2, 1, nf)
+                        a_loss = mse(yh_a, ys_b * ya_mask)
+                        v_loss = mse(yh_v, ypg_b)
                     loss = a_loss + coeff * v_loss
                     return loss, (bstats, {"loss": loss, "a_loss": a_loss,
                                            "v_loss": v_loss})

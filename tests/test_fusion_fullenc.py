@@ -170,3 +170,55 @@ def test_full_separator_runs_ns2():
     out = _separate(model, vs, cfg, batch)
     assert np.all(np.isfinite(np.asarray(out["audio_out"])))
     assert np.all(np.isfinite(np.asarray(out["si_sdr_gain"])))
+
+
+# --- MAAVSS_FULLENC_LOSS=slice / MAAVSS_MASK_IMPL=xla (round-5 byte cuts) ---
+
+
+def test_fullenc_slice_loss_matches_fold(monkeypatch):
+    """'slice' computes the same two mse terms against plain span slices
+    instead of materialized [B*ns,...] target folds — loss and updated params
+    must match 'fold' to fp-reduction tolerance."""
+    cfg = CFG.replace(fusion_encode="full")
+    model, vs = build(cfg, 4)
+    batch = jax.tree_util.tree_map(
+        jnp.asarray, synthetic_av_batch(cfg, 4, seed=7))
+
+    monkeypatch.setenv("MAAVSS_FULLENC_LOSS", "fold")
+    loss_fold, st_fold = run_step(model, vs, cfg, batch)
+    monkeypatch.setenv("MAAVSS_FULLENC_LOSS", "slice")
+    loss_slice, st_slice = run_step(model, vs, cfg, batch)
+
+    assert loss_fold == pytest.approx(loss_slice, rel=1e-5)
+    for p, q in zip(jax.tree_util.tree_leaves(st_fold.params),
+                    jax.tree_util.tree_leaves(st_slice.params)):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(q),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_fullenc_slice_loss_rejects_unknown(monkeypatch):
+    cfg = CFG.replace(fusion_encode="full")
+    model, vs = build(cfg, 4)
+    monkeypatch.setenv("MAAVSS_FULLENC_LOSS", "bogus")
+    with pytest.raises(ValueError, match="MAAVSS_FULLENC_LOSS"):
+        make_fusion_step(model, cfg)
+
+
+def test_mask_impl_xla_matches_pallas(monkeypatch):
+    """MAAVSS_MASK_IMPL=xla is the same complex multiply without the Pallas
+    call boundary; forward and one mask-head training step must agree."""
+    cfg = CFG.replace(fusion_encode="full")
+    model, vs = build(cfg, 4, mask_head=True)
+    batch = jax.tree_util.tree_map(
+        jnp.asarray, synthetic_av_batch(cfg, 4, seed=8))
+
+    monkeypatch.delenv("MAAVSS_MASK_IMPL", raising=False)
+    loss_p, st_p = run_step(model, vs, cfg, batch)
+    monkeypatch.setenv("MAAVSS_MASK_IMPL", "xla")
+    loss_x, st_x = run_step(model, vs, cfg, batch)
+
+    assert loss_p == pytest.approx(loss_x, rel=1e-6)
+    for p, q in zip(jax.tree_util.tree_leaves(st_p.params),
+                    jax.tree_util.tree_leaves(st_x.params)):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(q),
+                                   rtol=1e-5, atol=1e-7)
