@@ -89,7 +89,7 @@ class FramesVisualEncoder(nn.Module):
             raise ValueError(f"unknown conv3d impl {conv_impl}")
         if pool_impl not in ("window", "reshape"):
             raise ValueError(f"unknown pool impl {pool_impl}")
-        if epilogue not in ("fused", "xla"):
+        if epilogue not in ("fused", "lean", "xla"):
             raise ValueError(f"unknown epilogue impl {epilogue}")
 
         # NCDHW -> NDHWC
@@ -138,13 +138,23 @@ class FramesVisualEncoder(nn.Module):
             # only; BN params/stats declared via _BNHolder at the exact
             # TorchBatchNorm_i/BatchNorm_0 paths so checkpoints and the
             # eval path (flax BatchNorm reading the same tree) interchange.
-            fused_ok = (epilogue == "fused" and train
+            # 'lean' (ops/lean_epilogue.py) is the round-5 pure-XLA
+            # restructure of the same tail: pool-before-normalize by the
+            # sign(gamma) select + a custom VJP whose BN-backward global
+            # terms collapse to pooled-domain sums — one fused dy pass
+            # instead of XLA autodiff's ~5 over the conv output.
+            fused_ok = (epilogue in ("fused", "lean") and train
                         and conv_impl == "s2d"
                         and s2d_fold_eligible(x.shape, pad, pool, s2d_min_hw))
             if fused_ok:
-                from maavss_tpu.ops.pallas_epilogue import (
-                    fused_bn_phasemax_leaky,
-                )
+                if epilogue == "lean":
+                    from maavss_tpu.ops.lean_epilogue import (
+                        lean_bn_phasemax_leaky as fused_bn_phasemax_leaky,
+                    )
+                else:
+                    from maavss_tpu.ops.pallas_epilogue import (
+                        fused_bn_phasemax_leaky,
+                    )
 
                 scale, bias, ra_mean, ra_var = _BNHolder(
                     out_ch, name=f"TorchBatchNorm_{i}")()
