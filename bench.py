@@ -314,7 +314,7 @@ def main() -> None:
         "stft_impl": os.environ.get("MAAVSS_STFT_IMPL", "auto"),
         "frames_encode": os.environ.get("MAAVSS_BENCH_FRAMES_ENCODE", "window"),
         "fusion_encode": os.environ.get("MAAVSS_BENCH_FUSION_ENCODE", "full"),
-        "fullenc_loss": os.environ.get("MAAVSS_FULLENC_LOSS", "fold"),
+        "fullenc_loss": os.environ.get("MAAVSS_FULLENC_LOSS", "auto"),
         "mask_impl": os.environ.get("MAAVSS_MASK_IMPL", "auto"),
         "epilogue": os.environ.get("MAAVSS_EPILOGUE", "auto"),
         "remat": (os.environ.get("MAAVSS_BENCH_REMAT", "0") == "1")

@@ -517,10 +517,17 @@ def make_fusion_step(model, cfg: RunConfig, mesh: Optional[Mesh] = None,
         # (windows have equal element counts, so mean-of-window-means ==
         # global mean up to fp reduction order), fewer bytes on a step
         # measured AT the HBM roofline (r4i: fc_heads span 2.36 GB).
-        loss_impl = os.environ.get("MAAVSS_FULLENC_LOSS", "fold")
+        # Measured on chip (BASELINE.md round 5b, b256): slice 26,399 vs
+        # fold 25,288 clips/s/chip (+4.4%), and +6.5% with --mask_head —
+        # auto resolves to the winner on TPU; fold elsewhere (off-TPU the
+        # per-window reductions serialize for no byte win).
+        loss_impl = os.environ.get("MAAVSS_FULLENC_LOSS", "auto")
+        if loss_impl == "auto":
+            loss_impl = ("slice" if jax.default_backend() == "tpu"
+                         else "fold")
         if loss_impl not in ("fold", "slice"):
             raise ValueError(
-                f"MAAVSS_FULLENC_LOSS={loss_impl!r} (fold|slice)")
+                f"MAAVSS_FULLENC_LOSS={loss_impl!r} (auto|fold|slice)")
 
         def enc_fwd(params, bstats, x_a_full, x_v_full):
             return model.apply(
