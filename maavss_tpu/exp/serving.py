@@ -261,6 +261,13 @@ def make_handler(executor: BatchingExecutor, info: Dict[str, Any],
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
+        # The handler writes headers and body as separate segments; on a
+        # long-lived keep-alive connection Linux leaves quickack mode, so
+        # with Nagle on, the body write stalls ~40 ms behind the peer's
+        # delayed ACK (measured: runs/probe_r5b srv8_b1 108 ms keep-alive
+        # vs 67.5 ms per-request connections — fresh connections stay in
+        # quickack and never showed it). TCP_NODELAY on both ends.
+        disable_nagle_algorithm = True
 
         def _json(self, code: int, payload: Dict[str, Any]) -> None:
             body = json.dumps(payload).encode()
@@ -376,9 +383,15 @@ class SeparationClient:
 
     def _connect(self):
         import http.client
+        import socket
 
         self._conn = http.client.HTTPConnection(
             self._host, self._port, timeout=self._timeout)
+        # Connect eagerly so TCP_NODELAY applies from the first request:
+        # multi-segment npz bodies on a persistent connection otherwise pay
+        # Nagle + delayed-ACK stalls (see Handler.disable_nagle_algorithm).
+        self._conn.connect()
+        self._conn.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         return self._conn
 
     def close(self) -> None:

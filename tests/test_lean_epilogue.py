@@ -89,10 +89,13 @@ def test_bf16_io():
 
 
 @pytest.mark.parametrize("train", [True, False])
-def test_encoder_lean_equals_xla(monkeypatch, train):
+@pytest.mark.parametrize("lean_stages", ["all", "1"])
+def test_encoder_lean_equals_xla(monkeypatch, train, lean_stages):
     """Same init tree, outputs, grads, and batch-stat updates under
-    MAAVSS_EPILOGUE lean vs xla (stages 1-2 lean at this geometry; the small
+    MAAVSS_EPILOGUE lean vs xla (stages lean per $MAAVSS_LEAN_STAGES —
+    'all' and the measured-winner default '1' both covered; the small
     tail stages fall back identically; eval mode bypasses the tail)."""
+    monkeypatch.setenv("MAAVSS_LEAN_STAGES", lean_stages)
     vl, ll, ol, sl, gl = _encoder_run("lean", monkeypatch, train)
     vx, lx, ox, sx, gx = _encoder_run("xla", monkeypatch, train)
     jax.tree_util.tree_map(

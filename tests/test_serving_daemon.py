@@ -182,6 +182,26 @@ def test_pipelined_executor_burst_correctness(served):
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_tcp_nodelay_both_ends(served):
+    """Keep-alive connections must disable Nagle on both sockets: the
+    handler's two-segment response otherwise stalls ~40 ms behind the
+    peer's delayed ACK once the connection leaves Linux quickack mode
+    (measured r5b: 108 ms keep-alive p50 vs 67.5 ms fresh-connection)."""
+    import socket
+
+    url, executor, _ = served
+    from maavss_tpu.exp.serving import SeparationClient, make_handler
+
+    handler = make_handler(executor, {})
+    assert handler.disable_nagle_algorithm is True
+    audio, visual = random_serving_inputs(CFG, 1, seed=7)
+    client = SeparationClient(url)
+    client.separate(audio, visual)
+    assert client._conn.sock.getsockopt(
+        socket.IPPROTO_TCP, socket.TCP_NODELAY) != 0
+    client.close()
+
+
 def test_health_and_stats_endpoints(served):
     url, _, _ = served
     with urlopen(url + "/healthz") as resp:
