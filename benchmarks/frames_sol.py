@@ -67,6 +67,10 @@ def main() -> None:
     ap.add_argument("--stages", default="1,2,3,4,5")
     ap.add_argument("--skip_step", action="store_true",
                     help="skip the full train-step row (own bench covers it)")
+    ap.add_argument("--no_tail", action="store_true",
+                    help="bisect: time the stage's conv3d ALONE (no BN/pool/"
+                         "leaky) — attributes off-roofline stages between "
+                         "the conv schedule and the epilogue")
     args = ap.parse_args()
 
     from maavss_tpu.exp.profiling import compile_report
@@ -94,6 +98,15 @@ def main() -> None:
 
             kernel, _ = _ConvParams(self.out_ch, x.shape[-1], (3, 5, 5),
                                     False, name="Conv_0")()
+            if args.no_tail:
+                # conv3d alone (direct form — what stages at hw < s2d_min_hw
+                # actually execute): isolates the conv schedule from the
+                # BN+pool+leaky epilogue
+                return jax.lax.conv_general_dilated(
+                    x.astype(dtype), kernel.astype(dtype),
+                    window_strides=(1, 1, 1),
+                    padding=((1, 1), self.pad, self.pad),
+                    dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
             use_tail = (epilogue in ("fused", "lean") and train
                         and conv_impl == "s2d"
                         and s2d_fold_eligible(x.shape, self.pad, self.pool,
@@ -184,6 +197,7 @@ def main() -> None:
 
     print(json.dumps({"metric": "frames_stage_sol",
                       "epilogue": epilogue, "conv": conv_impl,
+                      "no_tail": args.no_tail,
                       "batch": args.batch, "frames": args.frames,
                       "dtype": args.dtype, "rows": rows}))
 

@@ -60,6 +60,14 @@ run fr_leanall_b128 5400 env MAAVSS_BENCH_REGIME=frames \
     MAAVSS_BENCH_FRAMES_ENCODE=full MAAVSS_BENCH_BATCH=128 \
     MAAVSS_EPILOGUE=lean MAAVSS_LEAN_STAGES=all $BENCH
 
+# stages 3-4 SOL attribution: they sit 2.7x off BOTH rooflines (r5b:
+# 43.9 ms vs max(sol) 16.3; 21.4 vs 7.8) and every conv reformulation is
+# a measured negative (taps 2.5x slower layers.py:413, s2d +33% at 64^2
+# r3g, tfold r3j) — bisect conv vs tail with the BN+pool+leaky tail
+# stripped (--no_tail) to finish the attribution
+run fr_sol_notail34 3600 python benchmarks/frames_sol.py --batch 128 \
+    --stages 3,4 --no_tail
+
 # windowed-mode mask-impl A/B (fusion, b256, vectorized windows)
 run fus_win_mask_pallas 3600 env MAAVSS_BENCH_MASK_HEAD=1 \
     MAAVSS_BENCH_FUSION_ENCODE=window MAAVSS_MASK_IMPL=pallas $BENCH
