@@ -120,6 +120,10 @@ def measure_jax_clips_per_sec(batch_size: int, steps: int = 50, warmup: int = 5,
                     remat=os.environ.get("MAAVSS_BENCH_REMAT", "0") == "1",
                     frames_encode=os.environ.get("MAAVSS_BENCH_FRAMES_ENCODE",
                                                  "window"),
+                    # --frames_halo cost leg (quality A/B in BASELINE.md r5):
+                    # synthetic_av_batch extends the clip by 2*halo frames
+                    frames_halo=int(os.environ.get("MAAVSS_BENCH_FRAMES_HALO",
+                                                   "0")),
                     # full-encode is the headline default since r4h: +68%
                     # throughput at equal 10k quality (11.12 vs 11.11 dB
                     # SI-SDR; BASELINE.md round 4h). Product CLI default
@@ -313,6 +317,7 @@ def main() -> None:
         "stft_fold": os.environ.get("MAAVSS_BENCH_STFT_FOLD", "auto"),
         "stft_impl": os.environ.get("MAAVSS_STFT_IMPL", "auto"),
         "frames_encode": os.environ.get("MAAVSS_BENCH_FRAMES_ENCODE", "window"),
+        "frames_halo": int(os.environ.get("MAAVSS_BENCH_FRAMES_HALO", "0")),
         "fusion_encode": os.environ.get("MAAVSS_BENCH_FUSION_ENCODE", "full"),
         "fullenc_loss": os.environ.get("MAAVSS_FULLENC_LOSS", "auto"),
         "mask_impl": os.environ.get("MAAVSS_MASK_IMPL", "auto"),

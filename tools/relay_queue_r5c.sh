@@ -59,6 +59,9 @@ run fr_lean_b128 5400 env MAAVSS_BENCH_REGIME=frames \
 run fr_leanall_b128 5400 env MAAVSS_BENCH_REGIME=frames \
     MAAVSS_BENCH_FRAMES_ENCODE=full MAAVSS_BENCH_BATCH=128 \
     MAAVSS_EPILOGUE=lean MAAVSS_LEAN_STAGES=all $BENCH
+# --frames_halo throughput cost leg (quality A/B: r5b halo rows; VERDICT
+# item 7 wants the dB gap closed at <10% throughput cost)
+run fr_halo_mb2 5400 $FR MAAVSS_BENCH_FRAMES_HALO=1 $BENCH
 
 # stages 3-4 SOL attribution: they sit 2.7x off BOTH rooflines (r5b:
 # 43.9 ms vs max(sol) 16.3; 21.4 vs 7.8) and every conv reformulation is
