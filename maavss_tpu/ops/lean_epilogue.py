@@ -84,11 +84,17 @@ def lean_bn_phasemax_leaky(
 def _lean_fwd(y, gamma, beta):
     _, _, mu, var, sg, m_signed = _stats_and_select(y, gamma)
     out, _, _ = _pooled_out(m_signed, sg, mu, var, gamma, beta, y.dtype)
-    return (out, mu, var), (y, gamma, beta, mu, var, m_signed)
+    # Residuals: y + per-channel scalars ONLY. m_signed ([b,t,h,w,c] f32 —
+    # 0.7-1.5 GB per stage at b128) is recomputed in the backward: custom_vjp
+    # residuals are opaque to XLA's rematerializer, and saving it pushed the
+    # b128 full-encode step 315 MB past HBM (runs/probe_r5c/fr_lean_b128).
+    # The recompute is a phase-axis (minor, local) max fused into the dz
+    # pass's existing read of y — bytes it already pays.
+    return (out, mu, var), (y, gamma, beta, mu, var)
 
 
 def _lean_bwd(res, cts):
-    y, gamma, beta, mu, var, m_signed = res
+    y, gamma, beta, mu, var = res
     g_out, g_mu, g_var = cts
     b, t, h, w, c4 = y.shape
     c = c4 // 4
@@ -97,6 +103,7 @@ def _lean_bwd(res, cts):
     gamma32 = gamma.astype(jnp.float32)
     sg = jnp.where(gamma32 >= 0, 1.0, -1.0)
     s = jnp.sqrt(var + _EPS)
+    m_signed = jnp.max(y6 * sg, axis=4)  # recomputed (see _lean_fwd note)
     sel = sg * m_signed
     zhat_sel = (sel - mu) / s
     zp = gamma32 * zhat_sel + beta.astype(jnp.float32)
