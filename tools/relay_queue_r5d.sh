@@ -52,6 +52,13 @@ run fr_leanall_mb2 5400 $FR MAAVSS_BENCH_MICROBATCH=2 MAAVSS_EPILOGUE=lean \
     MAAVSS_LEAN_STAGES=all $BENCH
 run fr_sol_lean2 5400 env MAAVSS_EPILOGUE=lean MAAVSS_LEAN_STAGES=all \
     python benchmarks/frames_sol.py --batch 128 --stages 1,2
+
+# halo cost leg re-tries (b256 mb2 + halo OOM'd by 212 MB in r5c: +2 span
+# frames per chunk): b128 monolithic, then mb4 fallback
+run fr_halo_b128 5400 $FR MAAVSS_BENCH_BATCH=128 MAAVSS_BENCH_FRAMES_HALO=1 \
+    $BENCH
+run fr_halo_mb4 5400 $FR MAAVSS_BENCH_MICROBATCH=4 MAAVSS_BENCH_FRAMES_HALO=1 \
+    $BENCH
 unset MAAVSS_BENCH_SKIP_BASELINE
 
 # ---- frames halo at the 10k horizon (seed 0, one window) ------------------
