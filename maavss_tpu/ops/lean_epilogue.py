@@ -96,6 +96,14 @@ def _lean_fwd(y, gamma, beta):
 def _lean_bwd(res, cts):
     y, gamma, beta, mu, var = res
     g_out, g_mu, g_var = cts
+    # Without this barrier the m_signed recompute below is syntactically
+    # identical to the forward's (same saved y root), so XLA CSE merges the
+    # two and KEEPS the value live from forward to backward — re-creating
+    # the exact residual footprint the recompute exists to avoid (measured:
+    # the b128 full-encode OOM excess stayed byte-identical at 315.50M
+    # before/after the recompute change, runs/probe_r5e/fr_lean_b128.err).
+    # optimization_barrier is an identity, so the math is unchanged.
+    y = jax.lax.optimization_barrier(y)
     b, t, h, w, c4 = y.shape
     c = c4 // 4
     y6 = y.reshape(b, t, h, w, 4, c).astype(jnp.float32)

@@ -54,9 +54,13 @@ def _mask_mul(re, im, mre, mim):
     # operand is a stack of overlapping window slices that XLA can feed
     # straight into the multiply instead of materializing the [B*ns,...] fold
     # as a Pallas kernel input (round-5 byte cut; A/B in BASELINE.md).
+    # auto resolves to xla: measured winner BOTH under full-encode (+8.4%
+    # with slice loss, r5b) and windowed mode (13,558 vs 13,255, +2.3%,
+    # r5e) — the fusable multiply beats the standalone kernel everywhere.
+    # MAAVSS_MASK_IMPL=pallas keeps the kernel for A/Bs.
     import os
 
-    if os.environ.get("MAAVSS_MASK_IMPL", "auto") == "xla":
+    if os.environ.get("MAAVSS_MASK_IMPL", "auto") != "pallas":
         return re * mre - im * mim, re * mim + im * mre
     grid, in_specs, out_spec = _tile_specs(re.shape, 4)
     out = jax.ShapeDtypeStruct(re.shape, re.dtype)

@@ -212,7 +212,9 @@ def test_mask_impl_xla_matches_pallas(monkeypatch):
     batch = jax.tree_util.tree_map(
         jnp.asarray, synthetic_av_batch(cfg, 4, seed=8))
 
-    monkeypatch.delenv("MAAVSS_MASK_IMPL", raising=False)
+    # auto resolves to xla since r5e — pin the Pallas leg explicitly so the
+    # A/B keeps exercising the kernel.
+    monkeypatch.setenv("MAAVSS_MASK_IMPL", "pallas")
     loss_p, st_p = run_step(model, vs, cfg, batch)
     monkeypatch.setenv("MAAVSS_MASK_IMPL", "xla")
     loss_x, st_x = run_step(model, vs, cfg, batch)

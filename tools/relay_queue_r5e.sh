@@ -101,7 +101,7 @@ serve_daemon() {
   local i=0
   until curl -s "http://127.0.0.1:$port/healthz" >/dev/null 2>&1; do
     i=$((i + 1))
-    if [ $i -gt 120 ]; then log "daemon -b $b never came up"; return 1; fi
+    if [ $i -gt 240 ]; then log "daemon -b $b never came up"; return 1; fi
     sleep 5
   done
   log "daemon -b $b up"

@@ -36,9 +36,14 @@ def main() -> None:
     pre.add_argument("--calls", type=int, default=50)
     pre.add_argument("--warmup", type=int, default=3)
     pre.add_argument("--concurrency", type=int, default=4)
-    pre.add_argument("--wire", choices=("f32", "f16"), default="f16",
-                     help="audio wire dtype both directions (f16 halves the "
-                          "dominant payload; daemon mirrors request dtype)")
+    pre.add_argument("--wire", choices=("f32", "f16"), default="f32",
+                     help="audio wire dtype both directions (daemon mirrors "
+                          "request dtype). f16 halves the payload but LOSES "
+                          "end-to-end under keep-alive in both measured "
+                          "windows (r5b 64.0 vs 74.7, r5e 43.9 vs 53.9 "
+                          "clips/s at c32 — the host-side dtype convert on "
+                          "this single-core machine outweighs the wire "
+                          "bytes), so f32 is the default")
     pre.add_argument("--no_keepalive", action="store_true",
                      help="legacy mode: reconnect per request (the pre-r5 "
                           "client behavior, for A/B)")
