@@ -147,13 +147,15 @@ class FramesVisualEncoder(nn.Module):
                         and conv_impl == "s2d"
                         and s2d_fold_eligible(x.shape, pad, pool, s2d_min_hw))
             if fused_ok and epilogue == "lean":
-                # Per-stage gate: the r5b SOL tables (runs/probe_r5b/
-                # fr_sol_{xla,lean}.json, b128) show lean wins stage i=1
-                # fwd+bwd 61.5 vs 76.2 ms but loses stage i=0 (88.6 vs
-                # 86.3) — stage 0's conv output is 16-channel and its tail
-                # is already at 78% HBM SOL under XLA. Default: lean only
-                # where measured faster; override with a comma list or
-                # 'all' ($MAAVSS_LEAN_STAGES).
+                # Per-stage gate, kept for study. History: the r5b SOL
+                # tables showed lean winning stage i=1 (61.5 vs 76.2 ms
+                # fwd+bwd) — but that variant's custom_vjp residuals OOM'd
+                # every end-to-end product config, and the memory-honest
+                # rewrite (optimization_barrier'd backward recompute,
+                # BASELINE.md round 5e) flips the isolated wins negative
+                # (stage i=1: 83.2 vs 76.2). lean is a closed negative;
+                # 'auto' never resolves to it. Override with a comma list
+                # or 'all' ($MAAVSS_LEAN_STAGES).
                 lean_stages = os.environ.get("MAAVSS_LEAN_STAGES", "1")
                 if lean_stages != "all":
                     fused_ok = i in {int(s) for s in lean_stages.split(",")
